@@ -1,0 +1,344 @@
+"""Wavefront codec engine: closed-loop compress/decompress over the block grid.
+
+The reference codes blocks strictly sequentially in raster order
+(graphs/models/BlockBasedImgCompLossy_net.py:339-361 compress, 420-452
+decompress): (H/B)*(W/B) dependent model calls per image, each a Python->C++
+round trip. TPU-native redesign:
+
+  * All blocks on a *skewed wavefront* d = slope*v + h are conditionally
+    independent: the masked convs only read zhat at offsets (dv, dh) with
+    dv < 0 (rows above, possibly to the RIGHT — 'A' masks keep upper-right
+    taps) or dv = 0, dh < 0. The minimal valid slope is computed from the
+    exact composite receptive field of the three zhat-consuming paths
+    (f2, i2, entropy-parameter stack), not assumed: slope s must satisfy
+    s*(-dv) > dh for every dependency offset. For the shipped configs
+    (all kernels <= 3) s = 2 — the classic HEVC-WPP 2-column lag.
+  * Per wavefront step, every block's windows are gathered into a
+    (batch, D, W, W, C) tensor and the per-block transforms run as batched
+    MXU matmuls (models/lbic.py per-block paths).
+  * steps = slope*(Hb-1) + Wb instead of Hb*Wb sequential steps
+    (222 vs 6144 for a 768x512 image at B=8).
+  * Encoder and decoder drive the SAME jitted step functions so their
+    float results (and therefore the committed zhat and the bitstream)
+    agree bit-exactly — the reference's own eval criterion
+    (agents/blkbsdimgcomp_agent.py:600-602).
+  * rANS entropy coding stays on the host (C++): the encoder does one
+    batched encode of all (symbol, index) pairs after the device loop;
+    the decoder pulls one wavefront-step chunk per step
+    (lbic_tpu/coding/api.py), not one block.
+
+Edge semantics match the reference: zhat windows are zero-padded outside
+the image (net.py:345-350 F.pad constant 0), committed blocks are clamped
+to [-0.5, 0.5] (net.py:357, 450).
+"""
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbic_tpu.coding import api as coding
+from lbic_tpu.models import lbic as M
+from lbic_tpu.ops import entropy as ent
+from lbic_tpu.ops.masked_conv import make_mask
+
+
+# ----------------------------- dependency analysis -----------------------------
+
+
+def composite_offsets(md: M.ModelDef):
+    """All (dv, dh) offsets of zhat that one block's coding step reads.
+
+    Union over the three zhat-consuming paths: f2 ('A' K1), i2 ('A' K1) and
+    the entropy-parameter stack (composite footprint = iterated dilation of
+    the layer masks). Offsets are relative to the current block; (0, 0) is
+    never a dependency ('A' masks exclude the centre)."""
+    paths = []
+    for spec in (md.f2, md.i2):
+        paths.append([(spec.k, spec.mask_type)])
+    paths.append([(s.k, s.mask_type) for s in md.ms])
+
+    deps = set()
+    for layers in paths:
+        # iterated dilation: footprint of the stack
+        fp = {(0, 0)}
+        first = True
+        for (k, mtype) in layers:
+            mask = make_mask(k, k, mtype)
+            offs = [
+                (i - k // 2, j - k // 2)
+                for i in range(k)
+                for j in range(k)
+                if mask[i, j]
+            ]
+            if first:
+                fp = set(offs)
+                first = False
+            else:
+                fp = {(a + da, b + db) for (a, b) in fp for (da, db) in offs}
+        deps |= fp
+    deps.discard((0, 0))
+    assert all(dv < 0 or (dv == 0 and dh < 0) for dv, dh in deps), deps
+    return sorted(deps)
+
+
+def min_slope(md: M.ModelDef) -> int:
+    """Smallest integer wavefront slope s with s*(-dv) > dh for all deps."""
+    s = 1
+    for dv, dh in composite_offsets(md):
+        if dv < 0 and dh > 0:
+            s = max(s, dh // (-dv) + 1)
+    return s
+
+
+# --------------------------------- schedule ---------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class Schedule:
+    Hb: int
+    Wb: int
+    slope: int
+    steps: int
+    Dmax: int
+    vs: np.ndarray  # (steps, Dmax) int32; invalid lanes point out of bounds
+    hs: np.ndarray  # (steps, Dmax) int32
+    valid: np.ndarray  # (steps, Dmax) bool
+    nvalid: np.ndarray  # (steps,) int32
+    # stream_order[v, h] = position of block (v, h) in the coded symbol
+    # stream (step-major, then ascending v within a step)
+    stream_order: np.ndarray  # (Hb, Wb) int32
+
+
+def make_schedule(Hb: int, Wb: int, slope: int) -> Schedule:
+    steps = slope * (Hb - 1) + Wb
+    rows = []
+    for d in range(steps):
+        blocks = [(v, d - slope * v) for v in range(Hb) if 0 <= d - slope * v < Wb]
+        rows.append(blocks)
+    Dmax = max(len(b) for b in rows)
+    vs = np.full((steps, Dmax), Hb + 10, dtype=np.int32)  # OOB sentinel
+    hs = np.full((steps, Dmax), Wb + 10, dtype=np.int32)
+    valid = np.zeros((steps, Dmax), dtype=bool)
+    stream_order = np.zeros((Hb, Wb), dtype=np.int64)
+    pos = 0
+    for d, blocks in enumerate(rows):
+        for i, (v, h) in enumerate(blocks):
+            vs[d, i], hs[d, i], valid[d, i] = v, h, True
+            stream_order[v, h] = pos
+            pos += 1
+    assert pos == Hb * Wb
+    return Schedule(
+        Hb=Hb, Wb=Wb, slope=slope, steps=steps, Dmax=Dmax,
+        vs=vs, hs=hs, valid=valid,
+        nvalid=valid.sum(axis=1).astype(np.int32),
+        stream_order=stream_order.astype(np.int32),
+    )
+
+
+# ------------------------------ step functions ------------------------------
+#
+# zpad: (N, Hb + 2P, Wb + 2P, cx) zero-padded committed reconstruction,
+# P = ms_lru (>= tr_lru always, since tr_lru = K1//2 <= ms_lru).
+# vs/hs: (D,) block coordinates for this step (OOB sentinel for invalid
+# lanes — gathers clamp harmlessly, commits are dropped via scatter mode).
+
+
+def _gather_windows(zpad, vs, hs, P, lru):
+    """(N, D, W, W, cx) windows, W = 2*lru+1, centred on each block."""
+    W = 2 * lru + 1
+    dv = jnp.arange(W)
+    vi = vs[:, None, None] + (P - lru) + dv[None, :, None]  # (D, W, 1)
+    hi = hs[:, None, None] + (P - lru) + dv[None, None, :]  # (D, 1, W)
+    vi = jnp.clip(vi, 0, zpad.shape[1] - 1)
+    hi = jnp.clip(hi, 0, zpad.shape[2] - 1)
+    return zpad[:, vi, hi, :]  # (N, D, W, W, cx)
+
+
+def _flatten_nd(t):
+    """(N, D, ...) -> (N*D, ...)."""
+    return t.reshape((-1,) + t.shape[2:])
+
+
+def _unflatten_nd(t, n):
+    return t.reshape((n, -1) + t.shape[1:])
+
+
+def meanscale_step(md: M.ModelDef, params, scale_table, zpad, vs, hs):
+    """(indexes (N,D,M) int32, means (N,D,M) f32) for one wavefront step."""
+    n = zpad.shape[0]
+    zwin = _gather_windows(zpad, vs, hs, md.ms_lru, md.ms_lru)
+    scales, means = M.meanscale_window(md, params, _flatten_nd(zwin))
+    indexes = ent.build_indexes(scales, scale_table)
+    return _unflatten_nd(indexes, n), _unflatten_nd(means, n)
+
+
+def encode_step(md: M.ModelDef, params, zpad, xblk, means, vs, hs):
+    """Encoder step: symbols + committed zpad update.
+
+    Returns (y_sym (N,D,M) int32, zpad')."""
+    n = zpad.shape[0]
+    zwin_tr = _gather_windows(zpad, vs, hs, md.ms_lru, md.tr_lru)
+    y = M.analysis_block(md, params, _flatten_nd(zwin_tr), _flatten_nd(xblk))
+    y_sym = jnp.round(y - _flatten_nd(means)).astype(jnp.int32)
+    y_qnt = y_sym.astype(y.dtype) + _flatten_nd(means)
+    xhat = M.synthesis_block(md, params, _flatten_nd(zwin_tr), y_qnt)
+    zpad = _commit(md, zpad, xhat, vs, hs)
+    return _unflatten_nd(y_sym, n), zpad
+
+
+def decode_step(md: M.ModelDef, params, zpad, y_sym, means, vs, hs):
+    """Decoder step: dequantize + synthesis + commit. Returns zpad'.
+
+    Bit-exact with encode_step's tail: y_qnt and the synthesis use the
+    identical ops on identical values."""
+    n = zpad.shape[0]
+    zwin_tr = _gather_windows(zpad, vs, hs, md.ms_lru, md.tr_lru)
+    y_qnt = _flatten_nd(y_sym).astype(jnp.float32) + _flatten_nd(means)
+    xhat = M.synthesis_block(md, params, _flatten_nd(zwin_tr), y_qnt)
+    return _commit(md, zpad, xhat, vs, hs)
+
+
+def _commit(md: M.ModelDef, zpad, xhat_flat, vs, hs):
+    """Clamp to [-0.5, 0.5] and scatter into zpad (invalid lanes dropped:
+    their sentinel coordinates are out of bounds)."""
+    n = zpad.shape[0]
+    P = md.ms_lru
+    xhat = _unflatten_nd(jnp.clip(xhat_flat, -0.5, 0.5), n)
+    return zpad.at[:, vs + P, hs + P, :].set(
+        xhat.astype(zpad.dtype), mode="drop"
+    )
+
+
+# --------------------------------- codec ---------------------------------
+
+
+class WavefrontCodec:
+    """Compress/decompress block-folded images with the wavefront engine.
+
+    Step functions are jitted once per (batch, Hb, Wb) shape and SHARED
+    between compress and decompress so encoder/decoder reconstructions are
+    bit-exact (same compiled programs => same float results)."""
+
+    def __init__(self, md: M.ModelDef, params, cdf_tables=None):
+        self.md = md
+        self.params = params
+        self.scale_table = ent.get_scale_table()
+        self.tables = cdf_tables or ent.build_gaussian_cdfs(
+            np.asarray(self.scale_table)
+        )
+        self._ms = jax.jit(
+            functools.partial(meanscale_step, md, params, self.scale_table)
+        )
+        self._enc = jax.jit(functools.partial(encode_step, md, params))
+        self._dec = jax.jit(functools.partial(decode_step, md, params))
+        self._sched_cache = {}
+
+    def schedule(self, Hb, Wb) -> Schedule:
+        key = (Hb, Wb)
+        if key not in self._sched_cache:
+            self._sched_cache[key] = make_schedule(Hb, Wb, min_slope(self.md))
+        return self._sched_cache[key]
+
+    def _zpad0(self, n, Hb, Wb):
+        P = self.md.ms_lru
+        return jnp.zeros((n, Hb + 2 * P, Wb + 2 * P, self.md.cx), jnp.float32)
+
+    def compress(self, x):
+        """x: (N, Hb, Wb, cx) block-folded image in [-0.5, 0.5].
+
+        Returns (streams: list of N bytes, zhat (N, Hb, Wb, cx))."""
+        md = self.md
+        n, Hb, Wb, _ = x.shape
+        sched = self.schedule(Hb, Wb)
+        zpad = self._zpad0(n, Hb, Wb)
+        vs_t = jnp.asarray(sched.vs)
+        hs_t = jnp.asarray(sched.hs)
+        x = jnp.asarray(x)
+
+        syms, idxs = [], []
+        for d in range(sched.steps):
+            vs, hs = vs_t[d], hs_t[d]
+            vi = jnp.clip(vs, 0, Hb - 1)
+            hi = jnp.clip(hs, 0, Wb - 1)
+            xblk = x[:, vi, hi, :]  # (N, D, cx)
+            indexes, means = self._ms(zpad, vs, hs)
+            y_sym, zpad = self._enc(zpad, xblk, means, vs, hs)
+            syms.append(y_sym)
+            idxs.append(indexes)
+
+        # one transfer + one rANS encode per image
+        syms = np.asarray(jnp.stack(syms, axis=1))   # (N, steps, Dmax, M)
+        idxs = np.asarray(jnp.stack(idxs, axis=1))
+        valid = sched.valid  # (steps, Dmax)
+        streams = []
+        for i in range(n):
+            s = syms[i][valid].ravel()
+            ix = idxs[i][valid].ravel()
+            streams.append(
+                coding.encode_with_indexes(
+                    s, ix, self.tables["cdf"], self.tables["cdf_lengths"],
+                    self.tables["offsets"],
+                )
+            )
+        zhat = self._unpad(zpad, Hb, Wb)
+        return streams, np.asarray(zhat)
+
+    def decompress(self, streams, Hb, Wb):
+        """streams: list of N byte strings. Returns zhat (N, Hb, Wb, cx)."""
+        md = self.md
+        n = len(streams)
+        sched = self.schedule(Hb, Wb)
+        zpad = self._zpad0(n, Hb, Wb)
+        vs_t = jnp.asarray(sched.vs)
+        hs_t = jnp.asarray(sched.hs)
+        decs = []
+        for s in streams:
+            dec = coding.RansDecoder()
+            dec.set_stream(s)
+            decs.append(dec)
+
+        t = self.tables
+        for d in range(sched.steps):
+            vs, hs = vs_t[d], hs_t[d]
+            indexes, means = self._ms(zpad, vs, hs)
+            idx_host = np.asarray(indexes)  # (N, Dmax, M)
+            vmask = sched.valid[d]
+            nv = int(sched.nvalid[d])
+            y_sym = np.zeros_like(idx_host)
+            for i in range(n):
+                flat = decs[i].decode_stream(
+                    idx_host[i][vmask].ravel(),
+                    t["cdf"], t["cdf_lengths"], t["offsets"],
+                )
+                y_sym[i][vmask] = flat.reshape(nv, md.M)
+            zpad = self._dec(zpad, jnp.asarray(y_sym), means, vs, hs)
+        for dec in decs:
+            dec.close()
+        return np.asarray(self._unpad(zpad, Hb, Wb))
+
+    def _unpad(self, zpad, Hb, Wb):
+        P = self.md.ms_lru
+        return zpad[:, P:P + Hb, P:P + Wb, :]
+
+    # ---------------- reference-order (raster) closed loop ----------------
+
+    def closed_loop_raster(self, x):
+        """Sequential raster-order closed loop (the reference's exact
+        schedule, net.py:339-357) — used by tests to prove the wavefront
+        schedule commits identical reconstructions."""
+        md = self.md
+        n, Hb, Wb, _ = x.shape
+        zpad = self._zpad0(n, Hb, Wb)
+        x = jnp.asarray(x)
+        for v in range(Hb):
+            for h in range(Wb):
+                vs = jnp.full((1,), v, jnp.int32)
+                hs = jnp.full((1,), h, jnp.int32)
+                xblk = x[:, v:v + 1, h, :]
+                _, means = self._ms(zpad, vs, hs)
+                _, zpad = self._enc(zpad, xblk, means, vs, hs)
+        return np.asarray(self._unpad(zpad, Hb, Wb))

@@ -1,0 +1,75 @@
+"""Benchmark: end-to-end codec throughput (compress + decompress) on the
+flagship v9 B8-lowrate model, one 768x512 image per batch element.
+
+Baseline (BASELINE.md / SURVEY.md §6): the reference takes 11.3 s encode +
+19.0 s decode per 768x512 Kodak image on the author's GPU
+(experiments/blkbsdimgcomp_B8_KS3111_N768M96_v9/exp_117.045 logs) —
+0.0330 images/s for the enc+dec round trip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Env: LBIC_BENCH_SMALL=1 shrinks the model for CPU smoke runs;
+LBIC_BENCH_BATCH sets images per batch (default 4).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_IMG_PER_S = 1.0 / (11.3 + 19.0)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lbic_tpu.config import LbicConfig
+    from lbic_tpu.engine.wavefront import WavefrontCodec
+    from lbic_tpu.models import lbic as M
+
+    small = bool(os.environ.get("LBIC_BENCH_SMALL"))
+    batch = int(os.environ.get("LBIC_BENCH_BATCH", "4"))
+    if small:
+        cfg = LbicConfig(net_version="v9", block_size=8, KS=(3, 1, 1, 1),
+                         N=96, M=24)
+        hb, wb = 16, 24  # 128x192
+    else:
+        cfg = LbicConfig(net_version="v9", block_size=8, KS=(3, 1, 1, 1),
+                         N=768, M=96)
+        hb, wb = 64, 96  # 768x512 (Kodak portrait: H=512, W=768)
+
+    md = M.make_model_def(cfg)
+    params = M.init_params(md, jax.random.PRNGKey(0))
+    codec = WavefrontCodec(md, params)
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-0.5, 0.5, (batch, hb, wb, md.cx)).astype(np.float32)
+
+    # warmup: compiles the shared step functions
+    wsteams, _ = codec.compress(x[:, :hb, :wb])
+    codec.decompress(wsteams, hb, wb)
+
+    t0 = time.time()
+    streams, zhat_enc = codec.compress(x)
+    t1 = time.time()
+    zhat_dec = codec.decompress(streams, hb, wb)
+    t2 = time.time()
+
+    assert np.array_equal(zhat_enc, zhat_dec), "enc/dec mismatch"
+    enc_s, dec_s = t1 - t0, t2 - t1
+    img_per_s = batch / (enc_s + dec_s)
+    print(json.dumps({
+        "metric": "codec_throughput_768x512_encdec",
+        "value": round(img_per_s, 4),
+        "unit": "images/s",
+        "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 2),
+    }))
+    print(f"# enc {enc_s:.2f}s dec {dec_s:.2f}s for {batch} imgs "
+          f"({'small' if small else 'full'} model), bit-exact ok",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

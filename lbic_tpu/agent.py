@@ -1,0 +1,603 @@
+"""Training/eval agent: the reference's BlockBasedImgCompLossyAgent +
+BaseAgent re-architected for JAX/TPU.
+
+Mode dispatcher (agents/base.py:165-207) and the ACL training state machine
+(agents/blkbsdimgcomp_agent.py:106-222) with the same convergence logic:
+  * per-ACL-iteration patience thresholds (cnt_no_improvement_valid_thresholds),
+  * acl_itr==0 converges when open-loop valid loss < acl_itr0_rdloss_threshold,
+  * ol_loss -> cl_loss convergence-mode switch when closed-loop improvement
+    stalls (<1% after acl itr >= 2), enabling chained training and lr*0.66,
+  * next-iteration LR blend lr = base*w1 + current*(1-w1), w1 = max(5-i,0)/10,
+  * fresh Adam + plateau scheduler each ACL iteration (threshold 3e-4,
+    cooldown 1, min_lr 4e-5 ol / 2e-5 cl).
+
+TPU mapping: train/eval steps are jitted SPMD programs over the parallel
+mesh; closed-loop validation is the on-device wavefront scan
+(engine/wavefront.py) instead of the reference's 256 sequential full-model
+calls (agent:434-445); eval_model drives the wavefront codec with the C++
+rANS backend.
+"""
+
+import glob
+import json
+import logging
+import math
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbic_tpu.config import LbicConfig
+from lbic_tpu.data.dataset import (
+    BatchLoader,
+    ImageDatasetACL,
+    acl_dir,
+    save_image,
+)
+from lbic_tpu.engine import wavefront as wf
+from lbic_tpu.models import lbic as M
+from lbic_tpu.ops import entropy as ent, metrics
+from lbic_tpu.ops.blockfold import (
+    block_fold,
+    block_unfold,
+    pad_to_block_multiple,
+)
+from lbic_tpu.parallel import make_mesh, shard_batch
+from lbic_tpu.train import (
+    ReduceLROnPlateau,
+    checkpoint as ckpt,
+    init_state,
+    make_eval_step,
+    make_train_step,
+    get_lr,
+    set_lr,
+)
+from lbic_tpu.train.step import TrainState, make_optimizer
+
+
+class BlockBasedImgCompLossyAgent:
+    def __init__(self, cfg: LbicConfig):
+        self.cfg = cfg
+        self.log = logging.getLogger("agent")
+        self.md = M.make_model_def(cfg)
+        self.B = cfg.block_size
+        self.lambda_ = float(cfg.lambda_)
+        self.rng_key = jax.random.PRNGKey(cfg.seed)
+        self.mesh = make_mesh(data=cfg.mesh_data, row=cfg.mesh_row) \
+            if (cfg.mesh_data * cfg.mesh_row) > 1 else None
+
+        self.state = init_state(self.md, self._next_key(),
+                                cfg.learning_rate,
+                                cfg.training_loss_switch)
+        self.base_lr = cfg.learning_rate
+        self.plateau = ReduceLROnPlateau()
+        self.chained = bool(cfg.chained_training)
+        self.convergence_mode = cfg.convergence_decsn_mode
+        self.current_epoch = 0
+        self.current_iteration = 0
+        self.acl_itr = cfg.acl_itr
+        self.best_valid_loss = float("inf")
+        self.best_validrr_loss = float("inf")
+        self.prev_aclitr_best_valid_loss = float("inf")
+        self.prev_aclitr_best_validrr_loss = float("inf")
+
+        self._train_step = None
+        self._train_step_chained = None
+        self._eval_step = make_eval_step(self.md, self.lambda_)
+        self._cl_scan = {}
+        self._codec = None
+
+        # checkpoint-load policy per mode (agent:85-99)
+        mode = cfg.mode
+        if mode in ("eval_model", "update_model", "validate_recu_reco",
+                    "validate_recu_reco_fast", "gen_train_set", "test",
+                    "validate", "model_size_estimation",
+                    "flops_estimation"):
+            path = self._find_checkpoint(cfg.modelbest_file_load)
+            if path:
+                self.load_checkpoint(path, weights_only=True)
+        elif cfg.resume_training:
+            path = self._find_checkpoint(cfg.checkpoint_file)
+            if path:
+                self.load_checkpoint(path, weights_only=False)
+
+    # ------------------------------ plumbing ------------------------------
+
+    def _next_key(self):
+        self.rng_key, k = jax.random.split(self.rng_key)
+        return k
+
+    def _find_checkpoint(self, name):
+        for cand in (
+            name,
+            os.path.join(self.cfg.checkpoint_dir or "", name),
+            os.path.join(self.cfg.checkpoint_dir or "", name + ".pkl"),
+            os.path.join(self.cfg.checkpoint_dir or "", name + ".pth.tar"),
+        ):
+            if cand and os.path.isfile(cand):
+                return cand
+        self.log.warning("checkpoint %r not found — fresh params", name)
+        return None
+
+    def _fold(self, a):
+        return block_fold(jnp.asarray(a), self.B)
+
+    def _maybe_shard(self, *arrays):
+        if self.mesh is None:
+            return arrays
+        return tuple(shard_batch(self.mesh, a) for a in arrays)
+
+    def train_step_fn(self):
+        if self.chained:
+            if self._train_step_chained is None:
+                self._train_step_chained = make_train_step(
+                    self.md, self.lambda_, self.cfg.distortion,
+                    chained=True, donate=False)
+            return self._train_step_chained
+        if self._train_step is None:
+            self._train_step = make_train_step(
+                self.md, self.lambda_, self.cfg.distortion,
+                chained=False, donate=False)
+        return self._train_step
+
+    def codec(self):
+        if self._codec is None:
+            self._codec = wf.WavefrontCodec(self.md, self.state.params)
+        return self._codec
+
+    def _loaders(self, mode=None):
+        cfg = self.cfg
+        roots = [getattr(cfg, f"train_data_{i+1}")
+                 for i in range(cfg.num_train_dirs)]
+        gen = (mode or cfg.mode).startswith("gen_train_set")
+        train_ds = ImageDatasetACL(
+            roots, cfg.session, self.acl_itr,
+            patch_size=0 if gen else cfg.patch_size,
+            augment=not gen)
+        valid_ds = ImageDatasetACL(
+            [cfg.valid_data], cfg.session, self.acl_itr,
+            patch_size=0, augment=False)
+        bs = 1 if gen else cfg.batch_size
+        train = BatchLoader(train_ds, bs, shuffle=not gen, seed=cfg.seed,
+                            drop_last=not gen)
+        valid = BatchLoader(valid_ds, 1, shuffle=False, drop_last=False)
+        return train, valid
+
+    # ---------------------------- checkpointing ----------------------------
+
+    def save_checkpoint(self, filename="checkpoint", is_best=False,
+                        acl_itr=None, rr=None):
+        d = self.cfg.checkpoint_dir or "."
+        payload = {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "use_rd": self.state.use_rd,
+            "epoch": self.current_epoch,
+            "iteration": self.current_iteration,
+            "acl_itr": self.acl_itr,
+            "chained": self.chained,
+            "convergence_mode": self.convergence_mode,
+            "best_valid_loss": self.best_valid_loss,
+            "best_validrr_loss": self.best_validrr_loss,
+            "prev_aclitr_best_valid_loss": self.prev_aclitr_best_valid_loss,
+            "prev_aclitr_best_validrr_loss":
+                self.prev_aclitr_best_validrr_loss,
+            "plateau": self.plateau.state_dict(),
+        }
+        ckpt.save(os.path.join(d, filename + ".pkl"), payload)
+        if is_best and acl_itr is not None:
+            suffix = "rr" if rr else ""
+            ckpt.save(os.path.join(
+                d, f"model_best_acl_{acl_itr}{suffix}.pkl"), payload)
+
+    def load_checkpoint(self, path, weights_only=False):
+        payload = ckpt.load_any(path, self.md)
+        params = jax.tree.map(jnp.asarray, payload["params"])
+        if weights_only or payload.get("torch_checkpoint") or \
+                "opt_state" not in payload:
+            opt = make_optimizer(get_lr(self.state))
+            self.state = TrainState(
+                params=params, opt_state=opt.init(params),
+                step=jnp.zeros((), jnp.int32),
+                use_rd=jnp.asarray(True))
+        else:
+            self.state = TrainState(
+                params=params,
+                opt_state=jax.tree.map(jnp.asarray, payload["opt_state"]),
+                step=jnp.asarray(payload["step"]),
+                use_rd=jnp.asarray(payload["use_rd"]))
+            self.current_epoch = payload["epoch"]
+            self.current_iteration = payload["iteration"]
+            self.acl_itr = payload["acl_itr"]
+            self.chained = payload["chained"]
+            self.convergence_mode = payload["convergence_mode"]
+            self.best_valid_loss = payload["best_valid_loss"]
+            self.best_validrr_loss = payload["best_validrr_loss"]
+            self.prev_aclitr_best_valid_loss = \
+                payload["prev_aclitr_best_valid_loss"]
+            self.prev_aclitr_best_validrr_loss = \
+                payload["prev_aclitr_best_validrr_loss"]
+            self.plateau.load_state_dict(payload["plateau"])
+        self._codec = None
+        self.log.info("loaded checkpoint %s (weights_only=%s)", path,
+                      weights_only)
+
+    # ------------------------------- modes -------------------------------
+
+    def run(self):
+        mode = self.cfg.mode
+        try:
+            if mode in ("train_all_acl",):
+                self.train_all_acl()
+            elif mode in ("train_one_acl", "debug"):
+                self.train_one_acl()
+            elif mode in ("validate", "test"):
+                train, valid = self._loaders()
+                self.log.info("validate loss: %.6f", self.validate(valid))
+            elif mode in ("validate_recu_reco", "validate_recu_reco_fast"):
+                train, valid = self._loaders()
+                self.log.info("validate_recu_reco loss: %.6f",
+                              self.validate_recu_reco(valid))
+            elif mode == "gen_train_set":
+                train, valid = self._loaders()
+                self.generate_training_set_next_acl_itr(train)
+                self.generate_training_set_next_acl_itr(valid)
+            elif mode == "eval_model":
+                self.eval_model()
+            elif mode == "update_model":
+                self.update_model()
+            elif mode == "model_size_estimation":
+                self.model_size_estimation()
+            elif mode == "flops_estimation":
+                self.flops_estimation()
+            else:
+                raise ValueError(f"unknown mode {mode}")
+        except KeyboardInterrupt:
+            self.log.info("interrupted — checkpointing")
+            self.save_checkpoint()
+        except Exception:
+            self.save_checkpoint(filename="checkpoint_on_error")
+            raise
+
+    # ------------------------------ training ------------------------------
+
+    def train_one_epoch(self, train_loader):
+        step = self.train_step_fn()
+        t0 = time.time()
+        sums = np.zeros(3)
+        n = 0
+        for x, z in train_loader:
+            xb = self._fold(x)
+            zb = self._fold(z)
+            xb, zb = self._maybe_shard(xb, zb)
+            self.state, m = step(self.state, xb, zb, self._next_key())
+            self.current_iteration += 1
+            loss = float(m["loss"])
+            sums += (loss, float(m["distortion"]), float(m["rate"]))
+            n += 1
+            # loss switch: D-only -> R+lambda*D (agent:297-302)
+            if (not bool(self.state.use_rd)) and \
+                    loss < self.cfg.loss_switch_thr:
+                self.log.info("switching loss to Rate+lambda*Distortion")
+                self.state = TrainState(
+                    params=self.state.params,
+                    opt_state=self.state.opt_state,
+                    step=self.state.step,
+                    use_rd=jnp.asarray(True))
+        avg = sums / max(n, 1)
+        self.log.info(
+            "[train] epoch %d: loss=%.6f dist=%.6f bpp=%.5f lr=%.2e (%.1fs)",
+            self.current_epoch, avg[0], avg[1], avg[2],
+            get_lr(self.state), time.time() - t0)
+        return avg[0]
+
+    def validate(self, valid_loader):
+        sums = np.zeros(3)
+        n = 0
+        for x, z in valid_loader:
+            xb = self._fold(x)
+            zb = self._fold(z)
+            r = self._eval_step(self.state.params, xb, zb)
+            sums += (float(r["loss"]), float(r["psnr"]), float(r["rate"]))
+            n += 1
+        loss, psnr, rate = sums / max(n, 1)
+        # reference's valid "loss" to minimize: -psnr + lambda*rate is NOT
+        # what it does; it tracks rd loss = mse-form. Use rate + lambda*mse
+        # equivalent: derive mse from psnr per batch is lossy; track
+        # lambda*10^(-psnr/10) + rate which is monotone in the same optimum.
+        score = rate + self.lambda_ * (10.0 ** (-psnr / 10.0))
+        self.log.info("[valid] epoch %d: psnr=%.4f bpp=%.5f score=%.6f",
+                      self.current_epoch, psnr, rate, score)
+        return score
+
+    def _cl_scan_fn(self, shape):
+        if shape not in self._cl_scan:
+            sched = wf.make_schedule(shape[1], shape[2],
+                                     wf.min_slope(self.md))
+
+            def f(params, x):
+                return wf.closed_loop_scan(self.md, params, x, sched)
+
+            self._cl_scan[shape] = jax.jit(f)
+        return self._cl_scan[shape]
+
+    def validate_recu_reco(self, valid_loader):
+        """Closed-loop validation via the on-device wavefront scan
+        (replaces the reference's 256 sequential tile-batched model calls,
+        agent:403-479)."""
+        sums = np.zeros(3)
+        n = 0
+        for x, z in valid_loader:
+            xp, _ = pad_to_block_multiple(jnp.asarray(x), self.B)
+            xb = block_fold(xp, self.B)
+            f = self._cl_scan_fn(xb.shape)
+            zhat, bits = f(self.state.params, xb)
+            num_px = x.shape[0] * xp.shape[1] * xp.shape[2]
+            bpp = float(bits) / num_px
+            p = float(metrics.psnr(xb, zhat))
+            score = bpp + self.lambda_ * (10.0 ** (-p / 10.0))
+            sums += (score, p, bpp)
+            n += 1
+        loss, psnr, rate = sums / max(n, 1)
+        self.log.info("[validrr] epoch %d: psnr=%.4f bpp=%.5f score=%.6f",
+                      self.current_epoch, psnr, rate, loss)
+        return loss
+
+    def train_one_acl(self):
+        """One ACL iteration's DL training (agents/base.py:209-233)."""
+        train, valid = self._loaders(mode="train")
+        self._run_dl_until_converged(train, valid)
+
+    def _patience_threshold(self):
+        th = self.cfg.cnt_no_improvement_valid_thresholds
+        i = min(self.acl_itr, len(th) - 1)
+        return th[i]
+
+    def _run_dl_until_converged(self, train, valid):
+        """Inner epoch loop of train_all_acl (agent:138-186). Returns
+        'change_mode' flag."""
+        cfg = self.cfg
+        cnt_valid = cnt_validrr = 0
+        threshold = self._patience_threshold()
+        valid_loss = float("inf")
+        change_mode = False
+        if self.convergence_mode == "ol_loss":
+            self.best_valid_loss = float("inf")
+        self.log.info(
+            "ACL itr %d: convergence=%s patience=%d chained=%s",
+            self.acl_itr, self.convergence_mode, threshold, self.chained)
+        while True:
+            if self.current_epoch >= cfg.max_epoch:
+                self.log.info("max_epoch reached")
+                break
+            self.train_one_epoch(train)
+            if not (self.current_epoch + 1) % cfg.validate_every:
+                valid_loss = self.validate(valid)
+                lr = self.plateau.step(valid_loss, get_lr(self.state))
+                if lr != get_lr(self.state):
+                    self.log.info("plateau: lr -> %.2e", lr)
+                    self.state = set_lr(self.state, lr)
+                is_best = valid_loss < self.best_valid_loss
+                if is_best:
+                    self.best_valid_loss = valid_loss
+                    cnt_valid = 0
+                else:
+                    cnt_valid += 1
+                self.save_checkpoint(is_best=is_best, acl_itr=self.acl_itr,
+                                     rr=False)
+            rr_every = max(1, cfg.validate_recu_reco_every - self.acl_itr)
+            if not (self.current_epoch + 1) % rr_every:
+                validrr_loss = self.validate_recu_reco(valid)
+                is_bestrr = validrr_loss < self.best_validrr_loss
+                if is_bestrr:
+                    self.best_validrr_loss = validrr_loss
+                    cnt_validrr = 0
+                else:
+                    cnt_validrr += 1
+                self.save_checkpoint(is_best=is_bestrr,
+                                     acl_itr=self.acl_itr, rr=True)
+            self.current_epoch += 1
+            if self.convergence_mode == "ol_loss":
+                if (self.acl_itr > 0 and cnt_valid > threshold) or (
+                        self.acl_itr == 0 and
+                        valid_loss < cfg.acl_itr0_rdloss_threshold):
+                    self.log.info("ACL itr %d converged (ol)", self.acl_itr)
+                    if self.acl_itr >= 2 and not (
+                            self.best_validrr_loss <
+                            0.99 * self.prev_aclitr_best_validrr_loss):
+                        change_mode = True
+                    break
+            else:  # cl_loss
+                if cnt_validrr > threshold:
+                    self.log.info("ACL itr %d converged (cl)", self.acl_itr)
+                    break
+        return change_mode
+
+    def train_all_acl(self):
+        """The ACL outer loop (agent:106-222)."""
+        cfg = self.cfg
+        while True:
+            train, valid = self._loaders(mode="train")
+            change_mode = self._run_dl_until_converged(train, valid)
+            self.log.info("best ol=%.6f cl=%.6f", self.best_valid_loss,
+                          self.best_validrr_loss)
+            # load this itr's best model as next init (agent:190-205)
+            d = cfg.checkpoint_dir or "."
+            if self.convergence_mode == "ol_loss" and not change_mode:
+                path = os.path.join(d, f"model_best_acl_{self.acl_itr}.pkl")
+                if os.path.isfile(path):
+                    self.load_checkpoint(path, weights_only=True)
+                self.prev_aclitr_best_valid_loss = self.best_valid_loss
+                self.prev_aclitr_best_validrr_loss = self.best_validrr_loss
+            else:
+                path = os.path.join(d,
+                                    f"model_best_acl_{self.acl_itr}rr.pkl")
+                if os.path.isfile(path):
+                    self.load_checkpoint(path, weights_only=True)
+                if change_mode:
+                    self.convergence_mode = "cl_loss"
+                    self.chained = True
+                    self.state = set_lr(self.state,
+                                        get_lr(self.state) * 0.66)
+                    self.log.info("switching to cl_loss + chained training")
+            # regenerate recon sets for next iteration (agent:205-206)
+            gen_train, gen_valid = self._loaders(mode="gen_train_set")
+            self.generate_training_set_next_acl_itr(gen_train)
+            self.generate_training_set_next_acl_itr(gen_valid)
+            # next iteration (agent:208-222)
+            self.acl_itr += 1
+            lr_cur = get_lr(self.state)
+            w1 = max(5 - self.acl_itr, 0) / 10.0
+            lr_next = self.base_lr * w1 + lr_cur * (1.0 - w1)
+            opt = make_optimizer(lr_next)
+            self.state = TrainState(
+                params=self.state.params,
+                opt_state=opt.init(self.state.params),
+                step=self.state.step, use_rd=self.state.use_rd)
+            min_lr = 4e-5 if self.convergence_mode == "ol_loss" else 2e-5
+            self.plateau = ReduceLROnPlateau(min_lr=min_lr)
+            if not cfg.acl_bool:
+                self.log.info("acl_bool False — single iteration only")
+                break
+
+    # --------------------------- set generation ---------------------------
+
+    def generate_training_set_next_acl_itr(self, loader):
+        """Open-loop recon dump for the next ACL iteration
+        (agent:643-684): x̂ = model(ẑ, x) saved as PNG into
+        <root>__acl_<session>_<itr+1>."""
+        fwd = jax.jit(lambda p, z, x: jnp.clip(M.forward_open_loop(
+            self.md, p, z, x, training=False)[0], -0.5, 0.5))
+        ds = loader.ds
+        out_dirs = {}
+        for i in range(len(ds)):
+            x, z = ds.get(i, rng=None)
+            xp, (pb, pr) = pad_to_block_multiple(jnp.asarray(x[None]),
+                                                 self.B)
+            zp, _ = pad_to_block_multiple(jnp.asarray(z[None]), self.B)
+            xhat = fwd(self.state.params, block_fold(zp, self.B),
+                       block_fold(xp, self.B))
+            img = np.asarray(block_unfold(xhat, self.B))[0]
+            h, w = x.shape[:2]
+            img = img[:h, :w]
+            src = ds.files[i]
+            root = os.path.dirname(src)
+            if root not in out_dirs:
+                out = acl_dir(root, self.cfg.session, self.acl_itr + 1)
+                os.makedirs(out, exist_ok=True)
+                out_dirs[root] = out
+            save_image(os.path.join(out_dirs[root],
+                                    os.path.basename(src)), img)
+        self.log.info("wrote %d recon images for ACL itr %d",
+                      len(ds), self.acl_itr + 1)
+
+    # ------------------------------- codec -------------------------------
+
+    def update_model(self):
+        """Build quantized CDF tables + save (agent:551-558)."""
+        self._codec = wf.WavefrontCodec(self.md, self.state.params)
+        self.save_checkpoint(filename=self.cfg.modelbest_file_load
+                             + "_updated")
+        return self._codec
+
+    def eval_model(self):
+        """Real codec run over the test/valid set (agent:560-641)."""
+        cfg = self.cfg
+        codec = self.codec()
+        root = cfg.test_data or cfg.valid_data
+        ds = ImageDatasetACL([root], augment=False)
+        results = {"psnr": [], "ms-ssim": [], "ms-ssimdb": [], "bpp": [],
+                   "encoding_time": [], "decoding_time": []}
+        for i in range(len(ds)):
+            x, _ = ds.get(i, rng=None)
+            h, w = x.shape[:2]
+            xp, (pb, pr) = pad_to_block_multiple(jnp.asarray(x[None]),
+                                                 self.B)
+            xb = np.asarray(block_fold(xp, self.B))
+            t0 = time.time()
+            streams, zhat_enc = codec.compress(xb)
+            t_enc = time.time() - t0
+            t0 = time.time()
+            zhat_dec = codec.decompress(streams, xb.shape[1], xb.shape[2])
+            t_dec = time.time() - t0
+            dif = np.abs(zhat_enc - zhat_dec)
+            bpp = len(streams[0]) * 8.0 / (h * w)
+            rec = np.asarray(block_unfold(jnp.asarray(zhat_dec),
+                                          self.B))[0, :h, :w]
+            mse = float(np.mean((rec - x) ** 2))
+            psnr = -10 * math.log10(mse)
+            mss = float(metrics.ms_ssim(
+                jnp.asarray(x[None] + 0.5), jnp.asarray(rec[None] + 0.5)))
+            mssdb = -10 * math.log10(1 - mss)
+            results["psnr"].append(psnr)
+            results["ms-ssim"].append(mss)
+            results["ms-ssimdb"].append(mssdb)
+            results["bpp"].append(bpp)
+            results["encoding_time"].append(t_enc)
+            results["decoding_time"].append(t_dec)
+            if cfg.out_dir:
+                save_image(os.path.join(
+                    cfg.out_dir,
+                    os.path.basename(ds.files[i]) + "_reco.png"), rec)
+            self.log.info(
+                "Image %2d --> PSNR:%.2f Rate:%.4f MS-SSIM/dB:%.6f/%.2f "
+                "Enc/DecTime:%.2f/%.2f Enc-Dec.Mad/Max:%.4f/%.4f (%s)",
+                i, psnr, bpp, mss, mssdb, t_enc, t_dec,
+                dif.mean() * 255, dif.max() * 255,
+                os.path.basename(ds.files[i]))
+        avg = {k: float(np.mean(v)) for k, v in results.items()}
+        self.log.info("avg_psnr = %.2f avg_msssim = %.8f avg_bpp = %.4f",
+                      avg["psnr"], avg["ms-ssim"], avg["bpp"])
+        out = {
+            "name": cfg.exp_name or "lbic_tpu",
+            "description": f"lbic_tpu B={self.B} lambda={self.lambda_}",
+            "results": {k: results[k] for k in results},
+        }
+        if cfg.out_dir:
+            with open(os.path.join(cfg.out_dir, "results.json"), "w") as f:
+                json.dump(out, f, indent=2)
+        return out
+
+    # ----------------------------- estimation -----------------------------
+
+    def model_size_estimation(self):
+        """Param count with masked-weight discount (agent:775-818)."""
+        total = 0
+        masked_out = 0
+        flat, _ = jax.tree_util.tree_flatten_with_path(self.state.params)
+        for path, leaf in flat:
+            total += leaf.size
+        # masked taps: count zeros the masks pin (per conv spec)
+        md = self.md
+        from lbic_tpu.ops.masked_conv import make_mask
+
+        def masked_zeros(spec):
+            if spec.k == 1 and spec.mask_type == "B":
+                return 0
+            m = make_mask(spec.k, spec.k, spec.mask_type)
+            return int((m == 0).sum()) * spec.cin * spec.cout
+
+        for spec in (md.f1, md.f2, md.i1, md.i2, *md.f3, *md.i3, *md.ms):
+            masked_out += masked_zeros(spec)
+        self.log.info("params total=%d active=%d (masked-out %d)",
+                      total, total - masked_out, masked_out)
+        return total, total - masked_out
+
+    def flops_estimation(self, hw=(512, 512)):
+        """XLA cost analysis of the open-loop forward on a hw image
+        (reference uses ptflops on 512x512, agent:821-834)."""
+        hb, wb = hw[0] // self.B, hw[1] // self.B
+        x = jnp.zeros((1, hb, wb, self.md.cx))
+
+        def fwd(p, z, xx):
+            return M.forward_open_loop(self.md, p, z, xx, training=False)
+
+        c = jax.jit(fwd).lower(self.state.params, x, x).compile()
+        fl = c.cost_analysis()
+        flops = fl.get("flops", float("nan"))
+        self.log.info("forward flops on %dx%d: %.3f G", hw[0], hw[1],
+                      flops / 1e9)
+        return flops

@@ -1,0 +1,156 @@
+"""Image datasets + ACL paired loading.
+
+Re-implements the reference's data layer (dataloaders/image_dl_ACL.py)
+without torch: numpy + PIL, with a thread that prefetches the next batch
+while the device computes (the reference used 4 torch DataLoader workers,
+image_dl_ACL.py:43).
+
+Semantics preserved:
+  * ImageDatasetACL returns (x, zhat) pairs where zhat comes from the
+    sibling directory `<root>__acl_<session>_<acl_itr>`; at ACL iteration 0
+    zhat = x (image_dl_ACL.py:82-92, 144-155).
+  * joint random crop + joint h/v flips of the pair (image_dl_ACL.py:146-152);
+  * gen_train_set modes force batch 1 / no shuffle / no crop
+    (image_dl_ACL.py:19, 46-52);
+  * recon writers save x̂ PNGs into the next iteration's sibling dir
+    (image_dl_ACL.py:157-171).
+
+Images are float32 in [-0.5, 0.5], NHWC (the reference's ToTensor() - 0.5).
+"""
+
+import os
+import queue
+import threading
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".ppm")
+
+
+def list_images(root: str) -> List[str]:
+    return sorted(
+        os.path.join(root, f) for f in os.listdir(root)
+        if f.lower().endswith(IMG_EXTS)
+    )
+
+
+def load_image(path: str) -> np.ndarray:
+    """(H, W, 3) float32 in [-0.5, 0.5]."""
+    with Image.open(path) as im:
+        a = np.asarray(im.convert("RGB"), dtype=np.float32)
+    return a / 255.0 - 0.5
+
+
+def save_image(path: str, x: np.ndarray) -> None:
+    """x: (H, W, 3) in [-0.5, 0.5] -> 8-bit PNG (the ACL disk round-trip,
+    image_dl_ACL.py:163-169)."""
+    a = np.clip((x + 0.5) * 255.0, 0, 255.0)
+    Image.fromarray(np.round(a).astype(np.uint8)).save(path)
+
+
+def acl_dir(root: str, session: str, acl_itr: int) -> str:
+    """Sibling recon dir name (image_dl_ACL.py:86)."""
+    return f"{root.rstrip(os.sep)}__acl_{session}_{acl_itr}"
+
+
+class ImageDatasetACL:
+    """Paired (x, zhat) dataset for ACL training."""
+
+    def __init__(self, roots: Sequence[str], session: str = "A",
+                 acl_itr: int = 0, patch_size: int = 0, augment: bool = True):
+        self.roots = [r for r in roots if r]
+        self.session = session
+        self.acl_itr = acl_itr
+        self.patch_size = patch_size
+        self.augment = augment
+        self.files: List[str] = []
+        self.zfiles: List[str] = []
+        for root in self.roots:
+            fs = list_images(root)
+            self.files += fs
+            if acl_itr == 0:
+                self.zfiles += fs
+            else:
+                zd = acl_dir(root, session, acl_itr)
+                self.zfiles += [
+                    os.path.join(zd, os.path.basename(f)) for f in fs
+                ]
+        assert len(self.files) == len(self.zfiles)
+
+    def __len__(self):
+        return len(self.files)
+
+    def get(self, i: int, rng: Optional[np.random.Generator] = None):
+        x = load_image(self.files[i])
+        z = x if self.zfiles[i] == self.files[i] else load_image(self.zfiles[i])
+        assert x.shape == z.shape, (self.files[i], x.shape, z.shape)
+        ps = self.patch_size
+        if ps and rng is not None:
+            h, w = x.shape[:2]
+            if h < ps or w < ps:  # small-image refit (image_dl.py:60-66)
+                x = _pad_min(x, ps)
+                z = _pad_min(z, ps)
+                h, w = x.shape[:2]
+            top = int(rng.integers(0, h - ps + 1))
+            left = int(rng.integers(0, w - ps + 1))
+            x = x[top:top + ps, left:left + ps]
+            z = z[top:top + ps, left:left + ps]
+        if self.augment and rng is not None:
+            if rng.random() < 0.5:  # joint h-flip (image_dl_ACL.py:146-148)
+                x, z = x[:, ::-1], z[:, ::-1]
+            if rng.random() < 0.5:  # joint v-flip
+                x, z = x[::-1], z[::-1]
+        return np.ascontiguousarray(x), np.ascontiguousarray(z)
+
+
+def _pad_min(x, ps):
+    ph = max(0, ps - x.shape[0])
+    pw = max(0, ps - x.shape[1])
+    return np.pad(x, ((0, ph), (0, pw), (0, 0)), mode="edge")
+
+
+class BatchLoader:
+    """Shuffled batch iterator with one background prefetch thread."""
+
+    def __init__(self, ds: ImageDatasetACL, batch_size: int,
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True):
+        self.ds = ds
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
+
+    def __iter__(self):
+        order = np.arange(len(self.ds))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        nb = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def worker():
+            for b in range(nb):
+                idx = order[b * self.bs:(b + 1) * self.bs]
+                xs, zs = [], []
+                for i in idx:
+                    x, z = self.ds.get(int(i), self.rng)
+                    xs.append(x)
+                    zs.append(z)
+                try:
+                    q.put((np.stack(xs), np.stack(zs)))
+                except Exception:
+                    return
+            q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item

@@ -213,6 +213,57 @@ def _commit(md: M.ModelDef, zpad, xhat_flat, vs, hs):
     )
 
 
+# ------------------------- device-only closed loop -------------------------
+
+
+def closed_loop_scan(md: M.ModelDef, params, x, sched: Schedule,
+                     quant8: bool = False):
+    """Whole closed loop as ONE lax.scan on device — no host round trips.
+
+    The TPU equivalent of validate_recu_reco(_fast)
+    (agents/blkbsdimgcomp_agent.py:403-479, 491-549): reconstruct every
+    block conditioned on committed neighbors, WITHOUT entropy coding, and
+    accumulate the closed-loop self-information (bits) of the symbols.
+
+    x: (N, Hb, Wb, cx). Returns (zhat (N,Hb,Wb,cx), total_bits ()).
+    quant8: round committed blocks through 8-bit (agent:443-445)."""
+    n, Hb, Wb, _ = x.shape
+    P = md.ms_lru
+    zpad0 = jnp.zeros((n, Hb + 2 * P, Wb + 2 * P, md.cx), x.dtype)
+    scale_table = ent.get_scale_table()
+    vs_t = jnp.asarray(sched.vs)
+    hs_t = jnp.asarray(sched.hs)
+    valid_t = jnp.asarray(sched.valid)
+
+    def body(zpad, inp):
+        vs, hs, valid = inp
+        vi = jnp.clip(vs, 0, Hb - 1)
+        hi = jnp.clip(hs, 0, Wb - 1)
+        xblk = x[:, vi, hi, :]
+        zwin = _gather_windows(zpad, vs, hs, P, md.ms_lru)
+        scales, means = M.meanscale_window(md, params, _flatten_nd(zwin))
+        zwin_tr = _gather_windows(zpad, vs, hs, P, md.tr_lru)
+        y = M.analysis_block(md, params, _flatten_nd(zwin_tr),
+                             _flatten_nd(xblk))
+        y_sym = jnp.round(y - means)
+        y_qnt = y_sym + means
+        lik = ent.gaussian_likelihood(y_qnt, scales, means)
+        bits = jnp.sum(
+            jnp.where(valid[None, :, None],
+                      -jnp.log2(_unflatten_nd(lik, n)), 0.0))
+        xhat = M.synthesis_block(md, params, zwin_tr.reshape(
+            (-1,) + zwin_tr.shape[2:]), y_qnt)
+        xhat = jnp.clip(xhat, -0.5, 0.5)
+        if quant8:
+            xhat = jnp.round((xhat + 0.5) * 255.0) / 255.0 - 0.5
+        zpad = zpad.at[:, vs + P, hs + P, :].set(
+            _unflatten_nd(xhat, n).astype(zpad.dtype), mode="drop")
+        return zpad, bits
+
+    zpad, bits = jax.lax.scan(body, zpad0, (vs_t, hs_t, valid_t))
+    return zpad[:, P:P + Hb, P:P + Wb, :], jnp.sum(bits)
+
+
 # --------------------------------- codec ---------------------------------
 
 

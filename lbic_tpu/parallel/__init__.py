@@ -1,0 +1,6 @@
+from lbic_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+)

@@ -1,0 +1,96 @@
+"""End-to-end agent tests on a tiny synthetic dataset: data pipeline,
+one ACL iteration of training (with recon-set regeneration and
+checkpointing), eval_model codec run, and resume."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from lbic_tpu.agent import BlockBasedImgCompLossyAgent
+from lbic_tpu.config import LbicConfig, load_config, process_config
+from lbic_tpu.data.dataset import acl_dir
+
+
+@pytest.fixture
+def tiny_exp(tmp_path):
+    rng = np.random.default_rng(0)
+    train_dir = tmp_path / "train"
+    valid_dir = tmp_path / "valid"
+    train_dir.mkdir()
+    valid_dir.mkdir()
+    for d, n, size in ((train_dir, 6, 24), (valid_dir, 2, 20)):
+        for i in range(n):
+            a = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+            Image.fromarray(a).save(d / f"img{i}.png")
+    cfg = LbicConfig(
+        exp_name="tiny", net_version="v9", block_size=4, KS=(3, 1, 1, 1),
+        N=16, M=8, lambda_=100.0, batch_size=2, patch_size=16,
+        learning_rate=1e-3, max_epoch=2, validate_every=1,
+        validate_recu_reco_every=1, acl_bool=False,
+        cnt_no_improvement_valid_thresholds=(0,),
+        acl_itr0_rdloss_threshold=1e9,  # converge immediately at itr 0
+        num_train_dirs=1, train_data_1=str(train_dir),
+        valid_data=str(valid_dir), test_data=str(valid_dir),
+        mode="train_all_acl", seed=7,
+    )
+    cfg = process_config(cfg, root=str(tmp_path / "experiments"))
+    return cfg, train_dir, valid_dir
+
+
+def test_train_all_acl_one_iteration(tiny_exp):
+    cfg, train_dir, valid_dir = tiny_exp
+    agent = BlockBasedImgCompLossyAgent(cfg)
+    agent.run()
+    # checkpoints written
+    assert os.path.isfile(os.path.join(cfg.checkpoint_dir,
+                                       "model_best_acl_0.pkl"))
+    assert os.path.isfile(os.path.join(cfg.checkpoint_dir,
+                                       "model_best_acl_0rr.pkl"))
+    # recon sets regenerated for ACL itr 1
+    td = acl_dir(str(train_dir), cfg.session, 1)
+    vd = acl_dir(str(valid_dir), cfg.session, 1)
+    assert len(os.listdir(td)) == 6
+    assert len(os.listdir(vd)) == 2
+
+
+def test_eval_model_runs_codec(tiny_exp):
+    cfg, _, _ = tiny_exp
+    cfg.mode = "eval_model"
+    agent = BlockBasedImgCompLossyAgent(cfg)
+    out = agent.eval_model()
+    r = out["results"]
+    assert len(r["psnr"]) == 2
+    assert all(b > 0 for b in r["bpp"])
+    assert os.path.isfile(os.path.join(cfg.out_dir, "results.json"))
+
+
+def test_checkpoint_roundtrip(tiny_exp):
+    cfg, _, _ = tiny_exp
+    agent = BlockBasedImgCompLossyAgent(cfg)
+    agent.best_valid_loss = 1.25
+    agent.current_epoch = 3
+    agent.save_checkpoint()
+    path = os.path.join(cfg.checkpoint_dir, "checkpoint.pkl")
+    assert os.path.isfile(path)
+    agent2 = BlockBasedImgCompLossyAgent(cfg)
+    agent2.load_checkpoint(path)
+    assert agent2.best_valid_loss == 1.25
+    assert agent2.current_epoch == 3
+    import jax
+
+    a = jax.tree.leaves(agent.state.params)
+    b = jax.tree.leaves(agent2.state.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_model_size_and_flops(tiny_exp):
+    cfg, _, _ = tiny_exp
+    agent = BlockBasedImgCompLossyAgent(cfg)
+    total, active = agent.model_size_estimation()
+    assert 0 < active < total
+    fl = agent.flops_estimation(hw=(64, 64))
+    assert fl > 0

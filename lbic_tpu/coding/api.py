@@ -51,6 +51,14 @@ def _try_load():
         lib.lbic_pmf_to_quantized_cdf.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
         ]
+        lib.lbic_rans32_encode_interleaved.restype = ctypes.c_int64
+        lib.lbic_rans32_encode_interleaved.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
         _lib = lib
         _backend = "cpp"
         return lib
@@ -103,6 +111,40 @@ def encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets):
         out.ctypes.data, np.int64(cap))
     if nbytes < 0:
         raise ValueError(f"rans encode failed: {nbytes}")
+    return out[:nbytes].tobytes()
+
+
+def encode_interleaved(symbols, indexes, valid, M, G, cdfs, cdf_lengths,
+                       offsets):
+    """rans32 lane-interleaved encode (C++ fast path, numpy fallback).
+
+    symbols/indexes: (steps, Dmax, M) int32; valid: (steps, Dmax) bool.
+    Returns the rans32 byte stream (see coding/rans32.py)."""
+    symbols = _as_i32(symbols)
+    indexes = _as_i32(indexes)
+    steps, Dmax, M_ = symbols.shape
+    assert M_ == M
+    cdfs = _as_i32(cdfs)
+    cdf_lengths = _as_i32(cdf_lengths).ravel()
+    offsets = _as_i32(offsets).ravel()
+    lib = _try_load()
+    if lib is None:
+        from lbic_tpu.coding import rans32
+
+        return rans32.encode_interleaved(
+            symbols, indexes, valid, M, G, cdfs, cdf_lengths, offsets)
+    v = np.ascontiguousarray(np.asarray(valid, dtype=np.uint8))
+    n_lanes = Dmax * G
+    cap = 4 + 4 * n_lanes + 8 * symbols.size + 8 * n_lanes + 4096
+    out = np.zeros(cap, dtype=np.uint8)
+    nbytes = lib.lbic_rans32_encode_interleaved(
+        symbols.ctypes.data, indexes.ctypes.data, v.ctypes.data,
+        np.int32(steps), np.int32(Dmax), np.int32(M), np.int32(G),
+        cdfs.ctypes.data, np.int32(cdfs.shape[0]), np.int32(cdfs.shape[1]),
+        cdf_lengths.ctypes.data, offsets.ctypes.data,
+        out.ctypes.data, np.int64(cap))
+    if nbytes < 0:
+        raise ValueError(f"rans32 encode failed: {nbytes}")
     return out[:nbytes].tobytes()
 
 

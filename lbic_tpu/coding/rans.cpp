@@ -232,6 +232,116 @@ int32_t lbic_rans_decode_stream(void* dec, const int32_t* indexes, int64_t n,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// rans32: lane-interleaved 32-bit-state / 16-bit-renorm streams, decodable on
+// the TPU (see coding/rans32.py for the format spec and
+// engine/device_rans.py for the device decoder). This is the production
+// encoder: symbol (step d, lane i, channel m) -> stream (i, m % G); each
+// stream is a standard rANS encoded in reverse with halfword renorm.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr uint32_t kRans32L = 1u << 16;
+
+struct Enc32 {
+  uint32_t x = kRans32L;
+  std::vector<uint16_t> out;  // reverse emission order
+
+  inline void put(uint32_t start, uint32_t freq) {
+    uint32_t x_max = freq << 16;
+    while (x >= x_max) {
+      out.push_back(static_cast<uint16_t>(x & 0xFFFF));
+      x >>= 16;
+    }
+    x = ((x / freq) << kPrecision) + (x % freq) + start;
+  }
+
+  inline void put_bits(uint32_t bits, int nbits) {
+    uint32_t x_max = (kRans32L >> nbits) << 16;
+    while (x >= x_max) {
+      out.push_back(static_cast<uint16_t>(x & 0xFFFF));
+      x >>= 16;
+    }
+    x = (x << nbits) | (bits & ((1u << nbits) - 1));
+  }
+};
+
+}  // namespace
+
+// Encode wavefront-ordered symbols into the rans32 interleaved format.
+// symbols/indexes: (steps, Dmax, M) row-major; valid: (steps*Dmax) uint8.
+// Returns bytes written, -1 if out_capacity too small, -2 on bad input.
+int64_t lbic_rans32_encode_interleaved(
+    const int32_t* symbols, const int32_t* indexes, const uint8_t* valid,
+    int32_t steps, int32_t Dmax, int32_t M, int32_t G, const int32_t* cdfs,
+    int32_t n_rows, int32_t stride, const int32_t* cdf_lengths,
+    const int32_t* offsets, uint8_t* out, int64_t out_capacity) {
+  if (G <= 0 || M % G != 0) return -2;
+  const int64_t n_lanes = static_cast<int64_t>(Dmax) * G;
+  // gather each lane's (symbol, index) sequence in decode order
+  std::vector<std::vector<int32_t>> lane_sym(n_lanes), lane_idx(n_lanes);
+  for (int64_t d = 0; d < steps; ++d) {
+    for (int64_t i = 0; i < Dmax; ++i) {
+      if (!valid[d * Dmax + i]) continue;
+      const int64_t base = (d * Dmax + i) * M;
+      for (int64_t m = 0; m < M; ++m) {
+        const int64_t ln = i * G + (m % G);
+        lane_sym[ln].push_back(symbols[base + m]);
+        lane_idx[ln].push_back(indexes[base + m]);
+      }
+    }
+  }
+  // encode every lane (reverse), then assemble header + payload
+  std::vector<std::vector<uint16_t>> streams(n_lanes);
+  for (int64_t ln = 0; ln < n_lanes; ++ln) {
+    Enc32 e;
+    const auto& sy = lane_sym[ln];
+    const auto& ix = lane_idx[ln];
+    for (int64_t i = static_cast<int64_t>(sy.size()) - 1; i >= 0; --i) {
+      int32_t idx = ix[i];
+      if (idx < 0 || idx >= n_rows) return -2;
+      const int32_t* row = cdfs + static_cast<int64_t>(idx) * stride;
+      int32_t cdf_len = cdf_lengths[idx];
+      int32_t max_value = cdf_len - 2;
+      int64_t value = static_cast<int64_t>(sy[i]) - offsets[idx];
+      if (value >= 0 && value < max_value) {
+        e.put(static_cast<uint32_t>(row[value]),
+              static_cast<uint32_t>(row[value + 1] - row[value]));
+      } else {
+        uint32_t z = zigzag(value >= max_value ? value - max_value : value);
+        for (int c = kBypassChunks - 1; c >= 0; --c) {
+          e.put_bits(z >> (c * kBypassBits), kBypassBits);
+        }
+        e.put(static_cast<uint32_t>(row[max_value]),
+              static_cast<uint32_t>(row[max_value + 1] - row[max_value]));
+      }
+    }
+    auto& s = streams[ln];
+    s.push_back(static_cast<uint16_t>(e.x & 0xFFFF));
+    s.push_back(static_cast<uint16_t>(e.x >> 16));
+    for (size_t k = e.out.size(); k-- > 0;) s.push_back(e.out[k]);
+  }
+  int64_t payload_hw = 0;
+  for (const auto& s : streams) payload_hw += static_cast<int64_t>(s.size());
+  int64_t total = 4 + 4 * n_lanes + 2 * payload_hw;
+  if (total > out_capacity) return -1;
+  uint8_t* q = out;
+  uint32_t nl32 = static_cast<uint32_t>(n_lanes);
+  std::memcpy(q, &nl32, 4);
+  q += 4;
+  for (const auto& s : streams) {
+    uint32_t len = static_cast<uint32_t>(s.size());
+    std::memcpy(q, &len, 4);
+    q += 4;
+  }
+  for (const auto& s : streams) {
+    std::memcpy(q, s.data(), s.size() * 2);
+    q += s.size() * 2;
+  }
+  return total;
+}
+
 // PMF -> quantized CDF (same algorithm as coding/cdf.py, for parity tests
 // and for callers that want to stay in C++). Writes n+1 entries to out_cdf.
 int32_t lbic_pmf_to_quantized_cdf(const double* pmf, int32_t n,

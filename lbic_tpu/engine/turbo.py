@@ -1,0 +1,193 @@
+"""TurboCodec: the whole closed-loop codec as ONE jitted wavefront scan.
+
+v1 (engine/wavefront.py WavefrontCodec) keeps rANS on the host and pays
+one host<->device round trip per wavefront step on decode — measured at
+~25 ms/step through the TPU tunnel while the actual rANS work is ~0.5 ms.
+TurboCodec removes every in-loop host interaction:
+
+  * decode: the rans32 lane-interleaved streams (coding/rans32.py) are
+    decoded ON DEVICE (engine/device_rans.py) inside the scan body, right
+    between the entropy-parameter matmuls and the synthesis matmuls;
+  * encode: the same scan computes symbols; one C++ call afterwards
+    (coding/api.encode_interleaved) produces the bitstream.
+
+Bit-exactness between encoder and decoder reconstructions — the codec's
+correctness criterion (reference agents/blkbsdimgcomp_agent.py:600-602) —
+is guaranteed BY CONSTRUCTION: encode and decode execute the *same
+compiled program* (XLA executables are only bitwise-reproducible within
+one program — measured: scan-embedded math differs bitwise from the same
+math compiled standalone). The mode is a *traced* boolean `is_decode`:
+  y_sym = where(is_decode, rans_decoded_symbols, round(y - mu))
+so both modes share every float op that feeds the committed zhat.
+
+The dummy-side inputs (x for decode, bitstream for encode) are zeros; the
+inactive branch's work is wasted but small, and shapes stay identical."""
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbic_tpu.coding import api as coding
+from lbic_tpu.coding import rans32
+from lbic_tpu.engine import device_rans
+from lbic_tpu.engine import wavefront as wf
+from lbic_tpu.models import lbic as M
+from lbic_tpu.ops import entropy as ent
+
+
+class TurboCodec:
+    """Single-dispatch wavefront codec on rans32 streams.
+
+    G: channel groups per wavefront lane (streams per image =
+    Dmax * G); more streams = more VPU parallelism in the device rANS
+    decoder, fewer = slightly better compression (shorter headers).
+    hw_factor: bitstream capacity in halfwords per symbol (static shape
+    for the unified program; encode validates the real stream fits)."""
+
+    def __init__(self, md: M.ModelDef, params, G: int = 8,
+                 hw_factor: int = 2, cdf_tables=None):
+        assert md.M % G == 0, (md.M, G)
+        self.md = md
+        self.params = params
+        self.G = G
+        self.hw_factor = hw_factor
+        self.scale_table = ent.get_scale_table()
+        self.tables = cdf_tables or ent.build_gaussian_cdfs(
+            np.asarray(self.scale_table))
+        self._cdf = jnp.asarray(self.tables["cdf"])
+        self._cdf_len = jnp.asarray(self.tables["cdf_lengths"])
+        self._offsets = jnp.asarray(self.tables["offsets"])
+        self._sched_cache = {}
+        self._scan_cache = {}
+
+    def schedule(self, Hb, Wb) -> wf.Schedule:
+        key = (Hb, Wb)
+        if key not in self._sched_cache:
+            self._sched_cache[key] = wf.make_schedule(
+                Hb, Wb, wf.min_slope(self.md))
+        return self._sched_cache[key]
+
+    def _caps(self, n, Hb, Wb):
+        n_sym = Hb * Wb * self.md.M
+        lanes_hw = self.schedule(Hb, Wb).Dmax * self.G * 2
+        return n * (self.hw_factor * n_sym + lanes_hw)
+
+    # ------------------------------ the scan ------------------------------
+
+    def _scan_fn(self, n, Hb, Wb):
+        key = (n, Hb, Wb)
+        if key in self._scan_cache:
+            return self._scan_cache[key]
+        md, G = self.md, self.G
+        sched = self.schedule(Hb, Wb)
+        P = md.ms_lru
+        vs_t = jnp.asarray(sched.vs)
+        hs_t = jnp.asarray(sched.hs)
+        valid_t = jnp.asarray(sched.valid)
+        cdf, cdf_len, offsets = self._cdf, self._cdf_len, self._offsets
+        scale_table = self.scale_table
+
+        def scan(params, x, hw, lane_x0, lane_pos0, is_decode):
+            zpad0 = jnp.zeros((n, Hb + 2 * P, Wb + 2 * P, md.cx),
+                              jnp.float32)
+
+            def body(carry, inp):
+                zpad, lx, lp = carry
+                vs, hs, valid = inp
+                # entropy parameters for this step's blocks
+                zwin = wf._gather_windows(zpad, vs, hs, P, md.ms_lru)
+                scales, means = M.meanscale_window(
+                    md, params, wf._flatten_nd(zwin))
+                idx = ent.build_indexes(scales, scale_table)
+                idx_b = wf._unflatten_nd(idx, n)          # (n, Dmax, M)
+                means_b = wf._unflatten_nd(means, n)
+                # encoder branch: analysis + quantize
+                vi = jnp.clip(vs, 0, Hb - 1)
+                hi = jnp.clip(hs, 0, Wb - 1)
+                xblk = x[:, vi, hi, :]
+                zwin_tr = wf._gather_windows(zpad, vs, hs, P, md.tr_lru)
+                y = M.analysis_block(md, params, wf._flatten_nd(zwin_tr),
+                                     wf._flatten_nd(xblk))
+                y_sym_enc = jnp.round(y - means).astype(jnp.int32)
+                y_sym_enc = wf._unflatten_nd(y_sym_enc, n)
+                # decoder branch: on-device rANS
+                sym_dec, lx, lp = device_rans.decode_block_channels(
+                    hw, lx, lp, idx_b, valid & is_decode, G,
+                    cdf, cdf_len, offsets)
+                y_sym = jnp.where(is_decode, sym_dec, y_sym_enc)
+                # shared tail: dequantize + synthesis + commit
+                y_qnt = wf._flatten_nd(y_sym).astype(jnp.float32) + means
+                xhat = M.synthesis_block(
+                    md, params, wf._flatten_nd(zwin_tr), y_qnt)
+                zpad = wf._commit(md, zpad, xhat, vs, hs)
+                return (zpad, lx, lp), (y_sym, idx_b)
+
+            (zpad, _, _), (ys, idxs) = jax.lax.scan(
+                body, (zpad0, lane_x0, lane_pos0), (vs_t, hs_t, valid_t))
+            zhat = zpad[:, P:P + Hb, P:P + Wb, :]
+            return zhat, ys, idxs
+
+        fn = jax.jit(scan)
+        self._scan_cache[key] = fn
+        return fn
+
+    # ------------------------------- encode -------------------------------
+
+    def compress(self, x) -> Tuple[List[bytes], np.ndarray]:
+        """x: (N, Hb, Wb, cx) in [-0.5, 0.5] ->
+        (rans32 streams per image, zhat)."""
+        n, Hb, Wb, _ = x.shape
+        sched = self.schedule(Hb, Wb)
+        G = self.G
+        lanes = sched.Dmax * G
+        cap = self._caps(n, Hb, Wb)
+        fn = self._scan_fn(n, Hb, Wb)
+        hw = jnp.zeros((cap,), jnp.uint32)
+        lx = jnp.zeros((n, sched.Dmax, G), jnp.uint32)
+        lp = jnp.zeros((n, sched.Dmax, G), jnp.int32)
+        zhat, ys, idxs = fn(self.params, jnp.asarray(x), hw, lx, lp,
+                            jnp.asarray(False))
+        ys = np.asarray(ys)      # (steps, N, Dmax, M)
+        idxs = np.asarray(idxs)
+        t = self.tables
+        streams = []
+        for i in range(n):
+            s = coding.encode_interleaved(
+                ys[:, i], idxs[:, i], sched.valid, self.md.M, G,
+                t["cdf"], t["cdf_lengths"], t["offsets"])
+            if (len(s) + 1) // 2 > cap // n:
+                raise ValueError(
+                    f"stream larger than hw capacity ({len(s)}B); raise "
+                    f"hw_factor (now {self.hw_factor})")
+            streams.append(s)
+        return streams, np.asarray(zhat)
+
+    # ------------------------------- decode -------------------------------
+
+    def decompress(self, streams: List[bytes], Hb: int, Wb: int):
+        n = len(streams)
+        sched = self.schedule(Hb, Wb)
+        G = self.G
+        cap = self._caps(n, Hb, Wb)
+        hws, starts = [], []
+        off = 0
+        for s in streams:
+            h, st = rans32.parse_header(s)
+            assert len(st) == sched.Dmax * G, (len(st), sched.Dmax, G)
+            hws.append(h)
+            starts.append(st + off)
+            off += len(h)
+        hw_all = np.zeros(cap, dtype=np.uint32)
+        cat = np.concatenate(hws) if hws else np.zeros(0, np.int32)
+        assert cat.size <= cap, (cat.size, cap)
+        hw_all[:cat.size] = cat.astype(np.uint32)
+        starts = np.stack(starts).reshape(n, sched.Dmax, G)
+        fn = self._scan_fn(n, Hb, Wb)
+        hw = jnp.asarray(hw_all)
+        lx, lp = device_rans.init_lane_state(hw, jnp.asarray(starts))
+        x0 = jnp.zeros((n, Hb, Wb, self.md.cx), jnp.float32)
+        zhat, _, _ = fn(self.params, x0, hw, lx, lp, jnp.asarray(True))
+        return np.asarray(zhat)

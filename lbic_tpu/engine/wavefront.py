@@ -50,16 +50,25 @@ from lbic_tpu.ops.masked_conv import make_mask
 
 
 def composite_offsets(md: M.ModelDef):
-    """All (dv, dh) offsets of zhat that one block's coding step reads.
+    """All (dv, dh) offsets of committed state (zhat and, for v4, y_qnt)
+    that one block's coding step reads.
 
-    Union over the three zhat-consuming paths: f2 ('A' K1), i2 ('A' K1) and
-    the entropy-parameter stack (composite footprint = iterated dilation of
-    the layer masks). Offsets are relative to the current block; (0, 0) is
-    never a dependency ('A' masks exclude the centre)."""
-    paths = []
-    for spec in (md.f2, md.i2):
-        paths.append([(spec.k, spec.mask_type)])
-    paths.append([(s.k, s.mask_type) for s in md.ms])
+    Union over the state-consuming paths, each a stack whose composite
+    footprint is the iterated dilation of the layer masks:
+      * zhat -> f2 -> f3-chain   (analysis; f3 is 1x1 in v9)
+      * zhat -> i2 -> i3-chain   (synthesis)
+      * y_qnt -> i3-chain        (v4 synthesis mixes committed neighbor
+        latents through i1(1x1)+i3; 1x1 in v9 so no extra reach there)
+      * zhat -> entropy-parameter stack
+    Offsets are relative to the current block; (0, 0) is never a
+    dependency ('A' masks exclude the centre, and the current block's own
+    y_qnt is available when its synthesis runs)."""
+    paths = [
+        [(md.f2.k, md.f2.mask_type)] + [(s.k, s.mask_type) for s in md.f3],
+        [(md.i2.k, md.i2.mask_type)] + [(s.k, s.mask_type) for s in md.i3],
+        [(s.k, s.mask_type) for s in md.i3],
+        [(s.k, s.mask_type) for s in md.ms],
+    ]
 
     deps = set()
     for layers in paths:
@@ -213,6 +222,96 @@ def _commit(md: M.ModelDef, zpad, xhat_flat, vs, hs):
     )
 
 
+# ----------------------------- v4 step functions -----------------------------
+#
+# v4 state is (zpad, yqpad): synthesis mixes committed neighbor latents
+# (net.py:199-201). Windows are the reference's crop geometry — rows
+# [v-U, v], cols [h-L, h+R], U = L = R = md.lru — emulated on fixed-size
+# gathers with an in-image mask (see models/lbic.py v4_* docstring).
+
+
+def _gather_v4(pad, vs, hs, P, U):
+    """(N, D, U+1, 2U+1, C) windows: rows [v-U, v], cols [h-U, h+U]."""
+    dv = jnp.arange(U + 1)
+    dh = jnp.arange(2 * U + 1)
+    vi = vs[:, None, None] + (P - U) + dv[None, :, None]
+    hi = hs[:, None, None] + (P - U) + dh[None, None, :]
+    vi = jnp.clip(vi, 0, pad.shape[1] - 1)
+    hi = jnp.clip(hi, 0, pad.shape[2] - 1)
+    return pad[:, vi, hi, :]
+
+
+def _v4_inmask(md, vs, hs, Hb, Wb):
+    """(D, U+1, 2U+1, 1) float mask of in-image window positions."""
+    U = md.lru
+    dv = jnp.arange(U + 1) - U
+    dh = jnp.arange(2 * U + 1) - U
+    rows = (vs[:, None] + dv[None, :]) >= 0          # (D, U+1)
+    cols_ = hs[:, None] + dh[None, :]
+    cols = (cols_ >= 0) & (cols_ < Wb)               # (D, 2U+1)
+    m = rows[:, :, None] & cols[:, None, :]
+    return m[:, :, :, None].astype(jnp.float32)
+
+
+def _flat_v4(t):
+    """(N, D, ...) -> (N*D, ...)."""
+    return t.reshape((-1,) + t.shape[2:])
+
+
+def meanscale_step_v4(md, params, scale_table, zpad, vs, hs, Hb, Wb):
+    n = zpad.shape[0]
+    U = md.lru
+    zwin = _gather_v4(zpad, vs, hs, U, U)
+    inm = _v4_inmask(md, vs, hs, Hb, Wb)
+    inm = jnp.broadcast_to(inm[None], (n,) + inm.shape).reshape(
+        (-1,) + inm.shape[1:])
+    scales, means = M.v4_meanscale_window(md, params, _flat_v4(zwin), inm)
+    sc = scales[:, U, U, :]
+    mc = means[:, U, U, :]
+    indexes = ent.build_indexes(sc, scale_table)
+    return _unflatten_nd(indexes, n), _unflatten_nd(mc, n)
+
+
+def encode_step_v4(md, params, zpad, yqpad, xpad, means, vs, hs, Hb, Wb):
+    """Returns (y_sym (N,D,M), zpad', yqpad')."""
+    n = zpad.shape[0]
+    U = md.lru
+    zwin = _flat_v4(_gather_v4(zpad, vs, hs, U, U))
+    xwin = _flat_v4(_gather_v4(xpad, vs, hs, U, U))
+    yqwin = _flat_v4(_gather_v4(yqpad, vs, hs, U, U))
+    inm = _v4_inmask(md, vs, hs, Hb, Wb)
+    inm = jnp.broadcast_to(inm[None], (n,) + inm.shape).reshape(
+        (-1,) + inm.shape[1:])
+    y = M.v4_analysis_window(md, params, zwin, xwin, inm)[:, U, U, :]
+    mfl = _flatten_nd(means)
+    y_sym = jnp.round(y - mfl).astype(jnp.int32)
+    y_qnt = y_sym.astype(y.dtype) + mfl
+    yqwin = yqwin.at[:, U, U, :].set(y_qnt)  # centre latent committed first
+    xhat = M.v4_synthesis_window(md, params, zwin, yqwin, inm)[:, U, U, :]
+    zpad = _commit(md, zpad, xhat, vs, hs)
+    yqpad = yqpad.at[:, vs + U, hs + U, :].set(
+        _unflatten_nd(y_qnt, n), mode="drop")
+    return _unflatten_nd(y_sym, n), zpad, yqpad
+
+
+def decode_step_v4(md, params, zpad, yqpad, y_sym, means, vs, hs, Hb, Wb):
+    """Returns (zpad', yqpad')."""
+    n = zpad.shape[0]
+    U = md.lru
+    zwin = _flat_v4(_gather_v4(zpad, vs, hs, U, U))
+    yqwin = _flat_v4(_gather_v4(yqpad, vs, hs, U, U))
+    inm = _v4_inmask(md, vs, hs, Hb, Wb)
+    inm = jnp.broadcast_to(inm[None], (n,) + inm.shape).reshape(
+        (-1,) + inm.shape[1:])
+    y_qnt = _flatten_nd(y_sym).astype(jnp.float32) + _flatten_nd(means)
+    yqwin = yqwin.at[:, U, U, :].set(y_qnt)
+    xhat = M.v4_synthesis_window(md, params, zwin, yqwin, inm)[:, U, U, :]
+    zpad = _commit(md, zpad, xhat, vs, hs)
+    yqpad = yqpad.at[:, vs + U, hs + U, :].set(
+        _unflatten_nd(y_qnt, n), mode="drop")
+    return zpad, yqpad
+
+
 # ------------------------- device-only closed loop -------------------------
 
 
@@ -277,15 +376,29 @@ class WavefrontCodec:
     def __init__(self, md: M.ModelDef, params, cdf_tables=None):
         self.md = md
         self.params = params
+        self.v4 = md.net_version == "v4"
         self.scale_table = ent.get_scale_table()
         self.tables = cdf_tables or ent.build_gaussian_cdfs(
             np.asarray(self.scale_table)
         )
-        self._ms = jax.jit(
-            functools.partial(meanscale_step, md, params, self.scale_table)
-        )
-        self._enc = jax.jit(functools.partial(encode_step, md, params))
-        self._dec = jax.jit(functools.partial(decode_step, md, params))
+        if self.v4:
+            self._ms = jax.jit(
+                functools.partial(meanscale_step_v4, md, params,
+                                  self.scale_table),
+                static_argnames=("Hb", "Wb"))
+            self._enc = jax.jit(
+                functools.partial(encode_step_v4, md, params),
+                static_argnames=("Hb", "Wb"))
+            self._dec = jax.jit(
+                functools.partial(decode_step_v4, md, params),
+                static_argnames=("Hb", "Wb"))
+        else:
+            self._ms = jax.jit(
+                functools.partial(meanscale_step, md, params,
+                                  self.scale_table)
+            )
+            self._enc = jax.jit(functools.partial(encode_step, md, params))
+            self._dec = jax.jit(functools.partial(decode_step, md, params))
         self._sched_cache = {}
 
     def schedule(self, Hb, Wb) -> Schedule:
@@ -294,9 +407,10 @@ class WavefrontCodec:
             self._sched_cache[key] = make_schedule(Hb, Wb, min_slope(self.md))
         return self._sched_cache[key]
 
-    def _zpad0(self, n, Hb, Wb):
+    def _zpad0(self, n, Hb, Wb, ch=None):
         P = self.md.ms_lru
-        return jnp.zeros((n, Hb + 2 * P, Wb + 2 * P, self.md.cx), jnp.float32)
+        ch = ch if ch is not None else self.md.cx
+        return jnp.zeros((n, Hb + 2 * P, Wb + 2 * P, ch), jnp.float32)
 
     def compress(self, x):
         """x: (N, Hb, Wb, cx) block-folded image in [-0.5, 0.5].
@@ -306,18 +420,27 @@ class WavefrontCodec:
         n, Hb, Wb, _ = x.shape
         sched = self.schedule(Hb, Wb)
         zpad = self._zpad0(n, Hb, Wb)
+        yqpad = self._zpad0(n, Hb, Wb, md.M) if self.v4 else None
         vs_t = jnp.asarray(sched.vs)
         hs_t = jnp.asarray(sched.hs)
         x = jnp.asarray(x)
+        if self.v4:
+            P = md.ms_lru
+            xpad = jnp.pad(x, ((0, 0), (P, P), (P, P), (0, 0)))
 
         syms, idxs = [], []
         for d in range(sched.steps):
             vs, hs = vs_t[d], hs_t[d]
-            vi = jnp.clip(vs, 0, Hb - 1)
-            hi = jnp.clip(hs, 0, Wb - 1)
-            xblk = x[:, vi, hi, :]  # (N, D, cx)
-            indexes, means = self._ms(zpad, vs, hs)
-            y_sym, zpad = self._enc(zpad, xblk, means, vs, hs)
+            if self.v4:
+                indexes, means = self._ms(zpad, vs, hs, Hb=Hb, Wb=Wb)
+                y_sym, zpad, yqpad = self._enc(
+                    zpad, yqpad, xpad, means, vs, hs, Hb=Hb, Wb=Wb)
+            else:
+                vi = jnp.clip(vs, 0, Hb - 1)
+                hi = jnp.clip(hs, 0, Wb - 1)
+                xblk = x[:, vi, hi, :]  # (N, D, cx)
+                indexes, means = self._ms(zpad, vs, hs)
+                y_sym, zpad = self._enc(zpad, xblk, means, vs, hs)
             syms.append(y_sym)
             idxs.append(indexes)
 
@@ -344,6 +467,7 @@ class WavefrontCodec:
         n = len(streams)
         sched = self.schedule(Hb, Wb)
         zpad = self._zpad0(n, Hb, Wb)
+        yqpad = self._zpad0(n, Hb, Wb, md.M) if self.v4 else None
         vs_t = jnp.asarray(sched.vs)
         hs_t = jnp.asarray(sched.hs)
         decs = []
@@ -355,7 +479,10 @@ class WavefrontCodec:
         t = self.tables
         for d in range(sched.steps):
             vs, hs = vs_t[d], hs_t[d]
-            indexes, means = self._ms(zpad, vs, hs)
+            if self.v4:
+                indexes, means = self._ms(zpad, vs, hs, Hb=Hb, Wb=Wb)
+            else:
+                indexes, means = self._ms(zpad, vs, hs)
             idx_host = np.asarray(indexes)  # (N, Dmax, M)
             vmask = sched.valid[d]
             nv = int(sched.nvalid[d])
@@ -366,7 +493,11 @@ class WavefrontCodec:
                     t["cdf"], t["cdf_lengths"], t["offsets"],
                 )
                 y_sym[i][vmask] = flat.reshape(nv, md.M)
-            zpad = self._dec(zpad, jnp.asarray(y_sym), means, vs, hs)
+            if self.v4:
+                zpad, yqpad = self._dec(zpad, yqpad, jnp.asarray(y_sym),
+                                        means, vs, hs, Hb=Hb, Wb=Wb)
+            else:
+                zpad = self._dec(zpad, jnp.asarray(y_sym), means, vs, hs)
         for dec in decs:
             dec.close()
         return np.asarray(self._unpad(zpad, Hb, Wb))
@@ -384,12 +515,21 @@ class WavefrontCodec:
         md = self.md
         n, Hb, Wb, _ = x.shape
         zpad = self._zpad0(n, Hb, Wb)
+        yqpad = self._zpad0(n, Hb, Wb, md.M) if self.v4 else None
         x = jnp.asarray(x)
+        if self.v4:
+            P = md.ms_lru
+            xpad = jnp.pad(x, ((0, 0), (P, P), (P, P), (0, 0)))
         for v in range(Hb):
             for h in range(Wb):
                 vs = jnp.full((1,), v, jnp.int32)
                 hs = jnp.full((1,), h, jnp.int32)
-                xblk = x[:, v:v + 1, h, :]
-                _, means = self._ms(zpad, vs, hs)
-                _, zpad = self._enc(zpad, xblk, means, vs, hs)
+                if self.v4:
+                    _, means = self._ms(zpad, vs, hs, Hb=Hb, Wb=Wb)
+                    _, zpad, yqpad = self._enc(
+                        zpad, yqpad, xpad, means, vs, hs, Hb=Hb, Wb=Wb)
+                else:
+                    xblk = x[:, v:v + 1, h, :]
+                    _, means = self._ms(zpad, vs, hs)
+                    _, zpad = self._enc(zpad, xblk, means, vs, hs)
         return np.asarray(self._unpad(zpad, Hb, Wb))

@@ -252,6 +252,65 @@ def synthesis_block(md: ModelDef, params, zwin, y_qnt_blk):
     return h
 
 
+# ------------------------- v4 window paths -------------------------
+#
+# v4's codec (reference net.py:144-248) runs the FULL SAME-padded forward
+# on a cropped window [v-U : v+1, h-L : h+R+1] of (zhat, x, y_qnt) and
+# takes the centre — so, unlike v9, a block's latent depends on neighbor
+# blocks' x (through f3's 'B' k>1 convs) and its reconstruction on
+# neighbors' committed y_qnt (through i1/i3). We reproduce this exactly on
+# FIXED (U+1, 2L+1) windows gathered from zero-padded state, with an
+# in-image mask applied after every conv: the reference's variable crop +
+# per-layer SAME zero-padding makes activations outside the crop exact
+# zeros at each layer; GDN/LeakyReLU preserve zeros, conv biases don't —
+# hence mask-after-conv reproduces the cropped computation bit-for-bit.
+
+
+def _conv_same_masked(h, params, spec, inmask):
+    h = conv_apply(h, params, _mask(spec), padding="SAME")
+    return h * inmask
+
+
+def v4_stack_window(specs, params, h, inmask, inverse):
+    for i, spec in enumerate(specs):
+        h = gdn_apply(h, params[str(2 * i)], inverse=inverse)
+        h = _conv_same_masked(h, params[str(2 * i + 1)], spec, inmask)
+    return h
+
+
+def v4_analysis_window(md: ModelDef, params, zwin, xwin, inmask):
+    """y over the window; caller takes the centre (net.py:189-191).
+
+    zwin/xwin: (D, U+1, 2L+1, cx); inmask: (D, U+1, 2L+1, 1)."""
+    h = conv_apply(xwin, params["prtr_forward1"], None)
+    h = h + conv_apply(zwin, params["prtr_forward2"], _mask(md.f2))
+    h = h * inmask
+    return v4_stack_window(md.f3, params["prtr_forward3"], h, inmask,
+                           inverse=False)
+
+
+def v4_synthesis_window(md: ModelDef, params, zwin, yqwin, inmask):
+    """xhat over the window (net.py:200-201); yqwin holds committed
+    neighbor latents with the centre set to this block's y_qnt."""
+    h = conv_apply(yqwin, params["prtr_inverse1"], None)
+    h = h + conv_apply(zwin, params["prtr_inverse2"], _mask(md.i2))
+    h = h * inmask
+    return v4_stack_window(md.i3, params["prtr_inverse3"], h, inmask,
+                           inverse=True)
+
+
+def v4_meanscale_window(md: ModelDef, params, zwin, inmask):
+    """(sigma, mu) over the window (net.py:192-193)."""
+    h = zwin
+    for i, spec in enumerate(md.ms):
+        h = _conv_same_masked(h, params["get_meanscale"][str(2 * i)], spec,
+                              inmask)
+        if i < len(md.ms) - 1:
+            h = jax.nn.leaky_relu(h, LRELU_SLOPE)
+    scales, means = jnp.split(h, 2, axis=-1)
+    return scales, means
+
+
 def meanscale_window(md: ModelDef, params, zwin):
     """(sigma, mu) for one block from its (2*ms_lru+1)^2 zhat window
     (net.py:389-398: successive VALID convs shrink the window to 1x1)."""

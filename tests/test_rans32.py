@@ -1,0 +1,121 @@
+"""rans32 lane-interleaved format: numpy round trip + device (JAX) decoder
+parity with the numpy reference."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lbic_tpu.coding import rans32
+from lbic_tpu.engine import device_rans
+from lbic_tpu.ops import entropy as ent
+
+
+@pytest.fixture(scope="module")
+def tables():
+    st = np.asarray(ent.get_scale_table())
+    return ent.build_gaussian_cdfs(st)
+
+
+def make_symbols(rng, steps, Dmax, M, n_levels=64, spread=3.0):
+    symbols = rng.normal(0, spread, (steps, Dmax, M)).round().astype(np.int32)
+    # sprinkle extreme values to exercise the bypass path
+    mask = rng.random((steps, Dmax, M)) < 0.01
+    symbols[mask] = rng.integers(-5000, 5000, mask.sum())
+    indexes = rng.integers(0, n_levels, (steps, Dmax, M)).astype(np.int32)
+    valid = rng.random((steps, Dmax)) < 0.8
+    valid[0, 0] = True
+    return symbols, indexes, valid
+
+
+def test_numpy_roundtrip(tables, rng):
+    steps, Dmax, M, G = 7, 5, 8, 4
+    symbols, indexes, valid = make_symbols(rng, steps, Dmax, M)
+    t = tables
+    stream = rans32.encode_interleaved(
+        symbols, indexes, valid, M, G,
+        t["cdf"], t["cdf_lengths"], t["offsets"])
+    hw, starts = rans32.parse_header(stream)
+    dec = rans32.Rans32LaneDecoder(hw, starts)
+    for d in range(steps):
+        out = dec.decode_step(indexes[d], valid[d], M, G,
+                              t["cdf"], t["cdf_lengths"], t["offsets"])
+        expect = np.where(valid[d][:, None], symbols[d], 0)
+        np.testing.assert_array_equal(out, expect, err_msg=f"step {d}")
+
+
+def test_device_decoder_matches_numpy(tables, rng):
+    steps, Dmax, M, G = 6, 4, 8, 4
+    N = 2
+    t = tables
+    all_syms, all_idx, all_valid, streams = [], [], [], []
+    for n in range(N):
+        s, ix, v = make_symbols(rng, steps, Dmax, M)
+        all_syms.append(s)
+        all_idx.append(ix)
+        all_valid.append(v)
+        streams.append(rans32.encode_interleaved(
+            s, ix, v, M, G, t["cdf"], t["cdf_lengths"], t["offsets"]))
+    # valid masks must be the schedule's (shared across batch)
+    valid = all_valid[0]
+    for n in range(N):
+        all_valid[n] = valid
+        streams[n] = rans32.encode_interleaved(
+            all_syms[n], all_idx[n], valid, M, G,
+            t["cdf"], t["cdf_lengths"], t["offsets"])
+
+    # build batched device state: concatenate halfword arrays
+    hws, starts = [], []
+    off = 0
+    for sbytes in streams:
+        h, st = rans32.parse_header(sbytes)
+        hws.append(h)
+        starts.append(st + off)
+        off += len(h)
+    hw = jnp.asarray(np.concatenate(hws).astype(np.uint32))
+    starts = np.stack(starts).reshape(N, Dmax, G)
+    x, pos = device_rans.init_lane_state(hw, starts)
+
+    cdf = jnp.asarray(t["cdf"])
+    cl = jnp.asarray(t["cdf_lengths"])
+    offs = jnp.asarray(t["offsets"])
+    for d in range(steps):
+        idx = jnp.asarray(np.stack([all_idx[n][d] for n in range(N)]))
+        sym, x, pos = device_rans.decode_block_channels(
+            hw, x, pos, idx, jnp.asarray(valid[d]), G, cdf, cl, offs)
+        for n in range(N):
+            expect = np.where(valid[d][:, None], all_syms[n][d], 0)
+            np.testing.assert_array_equal(
+                np.asarray(sym[n]), expect, err_msg=f"step {d} img {n}")
+
+
+def test_empty_lane_ok(tables):
+    t = tables
+    symbols = np.zeros((1, 2, 4), np.int32)
+    indexes = np.zeros((1, 2, 4), np.int32)
+    valid = np.array([[True, False]])  # lane 1 never used
+    stream = rans32.encode_interleaved(
+        symbols, indexes, valid, 4, 2,
+        t["cdf"], t["cdf_lengths"], t["offsets"])
+    hw, starts = rans32.parse_header(stream)
+    dec = rans32.Rans32LaneDecoder(hw, starts)
+    out = dec.decode_step(indexes[0], valid[0], 4, 2,
+                          t["cdf"], t["cdf_lengths"], t["offsets"])
+    np.testing.assert_array_equal(out, symbols[0])
+
+
+def test_cpp_encoder_matches_numpy(tables, rng):
+    from lbic_tpu.coding import api
+
+    if api.backend_name() != "cpp":
+        pytest.skip("no C++ backend")
+    t = tables
+    steps, Dmax, M, G = 9, 6, 8, 4
+    symbols, indexes, valid = make_symbols(rng, steps, Dmax, M)
+    s_np = rans32.encode_interleaved(
+        symbols, indexes, valid, M, G,
+        t["cdf"], t["cdf_lengths"], t["offsets"])
+    s_cpp = api.encode_interleaved(
+        symbols, indexes, valid, M, G,
+        t["cdf"], t["cdf_lengths"], t["offsets"])
+    assert s_np == s_cpp

@@ -98,6 +98,53 @@ def test_roundtrip_bit_exact(KS):
     )
 
 
+def v4_raster_reference(md, params, x):
+    """Torch-faithful v4 closed loop: variable crops [max(0,v-U):v+1,
+    max(0,h-L):min(W,h+R+1)] with SAME-padded full-path convs
+    (reference net.py:167-201) — the ground truth the fixed-window masked
+    emulation must reproduce."""
+    import jax.numpy as jnp
+
+    n, Hb, Wb, _ = x.shape
+    U = md.lru
+    zhat = jnp.zeros((n, Hb, Wb, md.cx))
+    yq = jnp.zeros((n, Hb, Wb, md.M))
+    x = jnp.asarray(x)
+    for v in range(Hb):
+        for h in range(Wb):
+            uu, ll, rr = max(0, v - U), max(0, h - U), min(Wb, h + U + 1)
+            zwin = zhat[:, uu:v + 1, ll:rr]
+            xwin = x[:, uu:v + 1, ll:rr]
+            y = M.analysis_full(md, params, zwin, xwin)[:, v - uu, h - ll]
+            sc, mu = M.meanscale_full(md, params, zwin)
+            mu = mu[:, v - uu, h - ll]
+            y_sym = jnp.round(y - mu)
+            yq = yq.at[:, v, h].set(y_sym + mu)
+            yqwin = yq[:, uu:v + 1, ll:rr]
+            xh = M.synthesis_full(md, params, zwin, yqwin)[:, v - uu, h - ll]
+            zhat = zhat.at[:, v, h].set(jnp.clip(xh, -0.5, 0.5))
+    return np.asarray(zhat)
+
+
+class TestV4:
+    def test_wavefront_matches_torch_semantics(self):
+        cfg = tiny_cfg(KS=(3, 3, 3, 3), B=4, N=8, M_=4, version="v4")
+        md, codec = make_codec(cfg)
+        assert codec.v4
+        x = rand_x(md, 1, 4, 5)
+        _, zhat_wf = codec.compress(x)
+        zhat_ref = v4_raster_reference(md, codec.params, x)
+        np.testing.assert_allclose(zhat_wf, zhat_ref, rtol=0, atol=2e-6)
+
+    def test_v4_roundtrip_bit_exact(self):
+        cfg = tiny_cfg(KS=(3, 3, 1, 1), B=4, N=8, M_=4, version="v4")
+        md, codec = make_codec(cfg)
+        x = rand_x(md, 2, 5, 4)
+        streams, zhat_enc = codec.compress(x)
+        zhat_dec = codec.decompress(streams, 5, 4)
+        assert np.array_equal(zhat_enc, zhat_dec)
+
+
 def test_bpp_matches_entropy_estimate():
     """Actual stream length tracks the model's own -log2 p estimate."""
     import jax.numpy as jnp

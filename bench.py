@@ -26,7 +26,7 @@ def main():
     import jax.numpy as jnp
 
     from lbic_tpu.config import LbicConfig
-    from lbic_tpu.engine.wavefront import WavefrontCodec
+    from lbic_tpu.engine.turbo import TurboCodec
     from lbic_tpu.models import lbic as M
 
     small = bool(os.environ.get("LBIC_BENCH_SMALL"))
@@ -42,7 +42,7 @@ def main():
 
     md = M.make_model_def(cfg)
     params = M.init_params(md, jax.random.PRNGKey(0))
-    codec = WavefrontCodec(md, params)
+    codec = TurboCodec(md, params, G=8)
 
     rng = np.random.default_rng(0)
     x = rng.uniform(-0.5, 0.5, (batch, hb, wb, md.cx)).astype(np.float32)

@@ -88,6 +88,13 @@ class BlockBasedImgCompLossyAgent:
         self._eval_step = make_eval_step(self.md, self.lambda_)
         self._cl_scan = {}
         self._codec = None
+        # optional block-based post-processing net (agent:33-46)
+        self.pp_params = None
+        if cfg.use_postpm:
+            from lbic_tpu.models.postproc import postproc_init
+
+            self.pp_params = postproc_init(self._next_key(),
+                                           cfg.block_size)
 
         # checkpoint-load policy per mode (agent:85-99)
         mode = cfg.mode
@@ -186,6 +193,7 @@ class BlockBasedImgCompLossyAgent:
             "prev_aclitr_best_validrr_loss":
                 self.prev_aclitr_best_validrr_loss,
             "plateau": self.plateau.state_dict(),
+            "pp_params": self.pp_params,
         }
         ckpt.save(os.path.join(d, filename + ".pkl"), payload)
         if is_best and acl_itr is not None:
@@ -196,6 +204,9 @@ class BlockBasedImgCompLossyAgent:
     def load_checkpoint(self, path, weights_only=False):
         payload = ckpt.load_any(path, self.md)
         params = jax.tree.map(jnp.asarray, payload["params"])
+        if payload.get("pp_params") is not None:
+            self.pp_params = jax.tree.map(jnp.asarray,
+                                          payload["pp_params"])
         if weights_only or payload.get("torch_checkpoint") or \
                 "opt_state" not in payload:
             opt = make_optimizer(get_lr(self.state))
@@ -245,6 +256,10 @@ class BlockBasedImgCompLossyAgent:
                 train, valid = self._loaders()
                 self.generate_training_set_next_acl_itr(train)
                 self.generate_training_set_next_acl_itr(valid)
+            elif mode == "gen_train_set_postproc":
+                self.generate_training_set_postproc_mdl()
+            elif mode == "train_postproc_mdl":
+                self.train_postproc_mdl()
             elif mode == "eval_model":
                 self.eval_model()
             elif mode == "update_model":
@@ -494,6 +509,85 @@ class BlockBasedImgCompLossyAgent:
         self.log.info("wrote %d recon images for ACL itr %d",
                       len(ds), self.acl_itr + 1)
 
+    def generate_training_set_postproc_mdl(self):
+        """Closed-loop recon dump for post-proc training (agent:686-736):
+        x̂ = recursive reconstruction saved into
+        <root>__recurecos_<lambda> — via the wavefront scan instead of the
+        reference's (H/B * W/B) sequential model calls."""
+        cfg = self.cfg
+        roots = [getattr(cfg, f"train_data_{i+1}")
+                 for i in range(cfg.num_train_dirs)]
+        ds = ImageDatasetACL(roots, augment=False)
+        out_dirs = {}
+        for i in range(len(ds)):
+            x, _ = ds.get(i, rng=None)
+            xp, _ = pad_to_block_multiple(jnp.asarray(x[None]), self.B)
+            xb = block_fold(xp, self.B)
+            f = self._cl_scan_fn(xb.shape)
+            zhat, _ = f(self.state.params, xb)
+            img = np.asarray(block_unfold(zhat, self.B))[0]
+            h, w = x.shape[:2]
+            src = ds.files[i]
+            root = os.path.dirname(src)
+            if root not in out_dirs:
+                out = root.rstrip(os.sep) + f"__recurecos_{self.lambda_}"
+                os.makedirs(out, exist_ok=True)
+                out_dirs[root] = out
+            save_image(os.path.join(out_dirs[root],
+                                    os.path.basename(src)), img[:h, :w])
+        self.log.info("wrote %d recu-reco images for postproc training",
+                      len(ds))
+
+    def train_postproc_mdl(self):
+        """Freeze the codec, train BlkBasedPostProcessing with plain MSE
+        until <0.1%% epoch improvement (agent:308-347)."""
+        import optax
+
+        from lbic_tpu.models.postproc import postproc_apply, postproc_init
+
+        cfg = self.cfg
+        if self.pp_params is None:
+            self.pp_params = postproc_init(self._next_key(), self.B)
+        opt = optax.adam(cfg.learning_rate)
+        opt_state = opt.init(self.pp_params)
+        roots = [getattr(cfg, f"train_data_{i+1}")
+                 for i in range(cfg.num_train_dirs)]
+        ds = ImageDatasetACL(
+            roots, patch_size=cfg.patch_size, augment=True,
+            zhat_ext=f"__recurecos_{self.lambda_}")
+        loader = BatchLoader(ds, cfg.batch_size, shuffle=True,
+                             seed=cfg.seed)
+
+        @jax.jit
+        def pp_step(pp, opt_state, x, xr):
+            def loss_fn(pp):
+                out = postproc_apply(pp, xr)
+                return jnp.mean(jnp.square(out - x))
+
+            loss, g = jax.value_and_grad(loss_fn)(pp)
+            upd, opt_state = opt.update(g, opt_state, pp)
+            return optax.apply_updates(pp, upd), opt_state, loss
+
+        best = float("inf")
+        epoch = 0
+        while True:
+            tot, nb = 0.0, 0
+            for x, xr in loader:
+                xb = self._fold(x)
+                xrb = self._fold(xr)
+                self.pp_params, opt_state, loss = pp_step(
+                    self.pp_params, opt_state, xb, xrb)
+                tot += float(loss)
+                nb += 1
+            mse = tot / max(nb, 1)
+            self.log.info("[postproc] epoch %d: mse=%.6f", epoch, mse)
+            epoch += 1
+            if mse > 0.999 * best:
+                break
+            best = min(best, mse)
+        self.save_checkpoint()
+        return best
+
     # ------------------------------- codec -------------------------------
 
     def update_model(self):
@@ -525,8 +619,13 @@ class BlockBasedImgCompLossyAgent:
             t_dec = time.time() - t0
             dif = np.abs(zhat_enc - zhat_dec)
             bpp = len(streams[0]) * 8.0 / (h * w)
-            rec = np.asarray(block_unfold(jnp.asarray(zhat_dec),
-                                          self.B))[0, :h, :w]
+            zdec = jnp.asarray(zhat_dec)
+            if cfg.use_postpm and self.pp_params is not None:
+                from lbic_tpu.models.postproc import postproc_apply
+
+                zdec = jnp.clip(postproc_apply(self.pp_params, zdec),
+                                -0.5, 0.5)
+            rec = np.asarray(block_unfold(zdec, self.B))[0, :h, :w]
             mse = float(np.mean((rec - x) ** 2))
             psnr = -10 * math.log10(mse)
             mss = float(metrics.ms_ssim(

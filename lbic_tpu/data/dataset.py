@@ -59,7 +59,11 @@ class ImageDatasetACL:
     """Paired (x, zhat) dataset for ACL training."""
 
     def __init__(self, roots: Sequence[str], session: str = "A",
-                 acl_itr: int = 0, patch_size: int = 0, augment: bool = True):
+                 acl_itr: int = 0, patch_size: int = 0, augment: bool = True,
+                 zhat_ext: Optional[str] = None):
+        """zhat_ext: explicit sibling-dir suffix for the zhat pairs (the
+        reference's zhat_fldr_ext, image_dl_ACL.py:83-86 — e.g.
+        '__recurecos_<lambda>' when training the post-proc net)."""
         self.roots = [r for r in roots if r]
         self.session = session
         self.acl_itr = acl_itr
@@ -70,7 +74,12 @@ class ImageDatasetACL:
         for root in self.roots:
             fs = list_images(root)
             self.files += fs
-            if acl_itr == 0:
+            if zhat_ext is not None:
+                zd = root.rstrip(os.sep) + zhat_ext
+                self.zfiles += [
+                    os.path.join(zd, os.path.basename(f)) for f in fs
+                ]
+            elif acl_itr == 0:
                 self.zfiles += fs
             else:
                 zd = acl_dir(root, session, acl_itr)

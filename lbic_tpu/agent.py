@@ -70,7 +70,8 @@ class BlockBasedImgCompLossyAgent:
 
         self.state = init_state(self.md, self._next_key(),
                                 cfg.learning_rate,
-                                cfg.training_loss_switch)
+                                cfg.training_loss_switch,
+                                grad_acc_iters=cfg.grad_acc_iters)
         self.base_lr = cfg.learning_rate
         self.plateau = ReduceLROnPlateau()
         self.chained = bool(cfg.chained_training)
@@ -141,12 +142,14 @@ class BlockBasedImgCompLossyAgent:
             if self._train_step_chained is None:
                 self._train_step_chained = make_train_step(
                     self.md, self.lambda_, self.cfg.distortion,
-                    chained=True, donate=False)
+                    chained=True, donate=False, amp=self.cfg.use_amp,
+                    grad_acc_iters=self.cfg.grad_acc_iters)
             return self._train_step_chained
         if self._train_step is None:
             self._train_step = make_train_step(
                 self.md, self.lambda_, self.cfg.distortion,
-                chained=False, donate=False)
+                chained=False, donate=False, amp=self.cfg.use_amp,
+                grad_acc_iters=self.cfg.grad_acc_iters)
         return self._train_step
 
     def codec(self):
@@ -209,7 +212,8 @@ class BlockBasedImgCompLossyAgent:
                                           payload["pp_params"])
         if weights_only or payload.get("torch_checkpoint") or \
                 "opt_state" not in payload:
-            opt = make_optimizer(get_lr(self.state))
+            opt = make_optimizer(get_lr(self.state),
+                                 self.cfg.grad_acc_iters)
             self.state = TrainState(
                 params=params, opt_state=opt.init(params),
                 step=jnp.zeros((), jnp.int32),
@@ -467,7 +471,7 @@ class BlockBasedImgCompLossyAgent:
             lr_cur = get_lr(self.state)
             w1 = max(5 - self.acl_itr, 0) / 10.0
             lr_next = self.base_lr * w1 + lr_cur * (1.0 - w1)
-            opt = make_optimizer(lr_next)
+            opt = make_optimizer(lr_next, self.cfg.grad_acc_iters)
             self.state = TrainState(
                 params=self.state.params,
                 opt_state=opt.init(self.state.params),

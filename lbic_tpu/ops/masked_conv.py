@@ -64,9 +64,14 @@ def masked_conv_init(key, cin, cout, k, mask_type="B", dtype=jnp.float32):
 
 
 def conv2d(x, w, b=None, padding="SAME"):
+    # Output dtype follows the input (bf16 under AMP). The TPU MXU always
+    # accumulates bf16 operands in f32 internally, so no preferred_element_type
+    # override is needed — and forcing an f32 output would make the conv
+    # transpose rule see an f32 cotangent against bf16 operands (a dtype
+    # error under grad).
     out = lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding=padding, dimension_numbers=DN,
-        preferred_element_type=x.dtype if x.dtype == jnp.float32 else jnp.float32,
+        x, w.astype(x.dtype), window_strides=(1, 1), padding=padding,
+        dimension_numbers=DN,
     )
     if b is not None:
         out = out + b

@@ -1,0 +1,62 @@
+"""Bjøntegaard-delta metrics (BD-rate / BD-PSNR).
+
+Native implementation of what the reference gets from the external
+`bjontegaard` pip package (utils/bjontegaard_get.py:97-98: akima
+interpolation variant): integrate the difference of the two RD curves in
+(log-rate, psnr) space over the overlapping quality interval."""
+
+import numpy as np
+from scipy.interpolate import Akima1DInterpolator
+
+
+def _prep(rate, dist):
+    r = np.log10(np.asarray(rate, dtype=np.float64))
+    d = np.asarray(dist, dtype=np.float64)
+    order = np.argsort(d)
+    return r[order], d[order]
+
+
+def bd_rate(rate_anchor, dist_anchor, rate_test, dist_test) -> float:
+    """Average bitrate difference (percent) of test vs anchor at equal
+    quality. Negative = test saves rate."""
+    ra, da = _prep(rate_anchor, dist_anchor)
+    rt, dt = _prep(rate_test, dist_test)
+    lo = max(da.min(), dt.min())
+    hi = min(da.max(), dt.max())
+    if hi <= lo:
+        raise ValueError("RD curves do not overlap in quality")
+    fa = Akima1DInterpolator(da, ra)
+    ft = Akima1DInterpolator(dt, rt)
+    xs = np.linspace(lo, hi, 256)
+    avg = np.trapezoid(ft(xs) - fa(xs), xs) / (hi - lo)
+    return float((10 ** avg - 1) * 100)
+
+
+def bd_psnr(rate_anchor, dist_anchor, rate_test, dist_test) -> float:
+    """Average quality difference (dB) of test vs anchor at equal rate.
+    Positive = test is better."""
+    ra, da = _prep(rate_anchor, dist_anchor)
+    rt, dt = _prep(rate_test, dist_test)
+    # swap axes: interpolate dist as a function of log-rate
+    oa = np.argsort(ra)
+    ot = np.argsort(rt)
+    fa = Akima1DInterpolator(ra[oa], da[oa])
+    ft = Akima1DInterpolator(rt[ot], dt[ot])
+    lo = max(ra.min(), rt.min())
+    hi = min(ra.max(), rt.max())
+    if hi <= lo:
+        raise ValueError("RD curves do not overlap in rate")
+    xs = np.linspace(lo, hi, 256)
+    return float(np.trapezoid(ft(xs) - fa(xs), xs) / (hi - lo))
+
+
+def bd_from_results(anchor_json: dict, test_json: dict,
+                    metric: str = "psnr"):
+    """BD numbers from two results JSONs in the reference schema
+    ({'results': {'bpp': [...], 'psnr': [...]}})."""
+    a = anchor_json["results"]
+    t = test_json["results"]
+    return {
+        "bd_rate_pct": bd_rate(a["bpp"], a[metric], t["bpp"], t[metric]),
+        "bd_psnr_db": bd_psnr(a["bpp"], a[metric], t["bpp"], t[metric]),
+    }

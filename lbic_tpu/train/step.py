@@ -33,13 +33,25 @@ MIN_LR = 4e-5
 GRAD_CLIP = 0.5
 
 
-def make_optimizer(learning_rate: float):
+def make_optimizer(learning_rate: float, grad_acc_iters: int = 1):
     """Adam with LR as dynamic hyperparam state. Gradient clipping is done
     in the train step (element-wise value clip 0.5, applied only in RD
-    mode — agent:272-281 clip_grad_value_ gated on training_loss_switch)."""
-    return optax.inject_hyperparams(
+    mode — agent:272-281 clip_grad_value_ gated on training_loss_switch).
+    grad_acc_iters > 1 wraps in optax.MultiSteps (the reference's
+    gradient accumulation, agent:244/271-276)."""
+    opt = optax.inject_hyperparams(
         lambda learning_rate: optax.adam(learning_rate)
     )(learning_rate=learning_rate)
+    if grad_acc_iters > 1:
+        opt = optax.MultiSteps(opt, every_k_schedule=grad_acc_iters)
+    return opt
+
+
+def _hyper(opt_state):
+    """The hyperparams dict, whether or not MultiSteps wraps it."""
+    if hasattr(opt_state, "inner_opt_state"):
+        return opt_state.inner_opt_state.hyperparams
+    return opt_state.hyperparams
 
 
 @dataclasses.dataclass
@@ -57,9 +69,10 @@ jax.tree_util.register_dataclass(
 
 
 def init_state(md: M.ModelDef, key, learning_rate: float,
-               training_loss_switch: int = 1) -> TrainState:
+               training_loss_switch: int = 1,
+               grad_acc_iters: int = 1) -> TrainState:
     params = M.init_params(md, key)
-    opt = make_optimizer(learning_rate)
+    opt = make_optimizer(learning_rate, grad_acc_iters)
     return TrainState(
         params=params,
         opt_state=opt.init(params),
@@ -69,18 +82,30 @@ def init_state(md: M.ModelDef, key, learning_rate: float,
 
 
 def get_lr(state: TrainState) -> float:
-    return float(state.opt_state.hyperparams["learning_rate"])
+    return float(_hyper(state.opt_state)["learning_rate"])
 
 
 def set_lr(state: TrainState, lr: float) -> TrainState:
-    state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+    _hyper(state.opt_state)["learning_rate"] = jnp.asarray(
         lr, jnp.float32)
     return state
 
 
-def _loss_fn(params, md, x, zhat, key, lambda_, distortion, chained, use_rd):
+def _loss_fn(params, md, x, zhat, key, lambda_, distortion, chained,
+             use_rd, amp=False):
+    if amp:
+        # bf16 compute (the reference's AMP autocast, agent:41-42,240):
+        # params and activations in bfloat16, loss math back in f32
+        cast = lambda t: jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, t)
+        params, x, zhat = cast(params), cast(x), cast(zhat)
     xhat, info = M.forward_open_loop(md, params, zhat, x, key=key,
                                      training=True)
+    if amp:
+        xhat = xhat.astype(jnp.float32)
+        info = info.astype(jnp.float32)
+        x = x.astype(jnp.float32)
     loss_rd, d, rate = L.train_rd_loss(x, xhat, info, lambda_, distortion,
                                        md.B)
     loss_d = lambda_ * d
@@ -89,6 +114,8 @@ def _loss_fn(params, md, x, zhat, key, lambda_, distortion, chained, use_rd):
         # second pass conditioned on this pass's reconstruction
         key2 = jax.random.fold_in(key, 1)
         xhat1 = jnp.clip(xhat, -0.5, 0.5)
+        if amp:
+            xhat1 = xhat1.astype(jnp.bfloat16)
         xhat2, info2 = M.forward_open_loop(md, params, xhat1, x, key=key2,
                                            training=True)
         loss2_rd, d2, rate2 = L.train_rd_loss(x, xhat2, info2, lambda_,
@@ -101,17 +128,18 @@ def _loss_fn(params, md, x, zhat, key, lambda_, distortion, chained, use_rd):
 
 
 def make_train_step(md: M.ModelDef, lambda_: float, distortion: str = "mse",
-                    chained: bool = False, donate: bool = True):
+                    chained: bool = False, donate: bool = True,
+                    amp: bool = False, grad_acc_iters: int = 1):
     """Returns jitted train_step(state, x, zhat, key) ->
     (state', metrics dict). Recompiles only when `chained` flips
     (once per ACL convergence-mode switch, agent:162-176)."""
-    opt = make_optimizer(0.0)  # lr comes from state
+    opt = make_optimizer(0.0, grad_acc_iters)  # lr comes from state
 
     def step(state: TrainState, x, zhat, key):
         (loss, (d, rate)), grads = jax.value_and_grad(
             _loss_fn, has_aux=True)(
                 state.params, md, x, zhat, key, lambda_, distortion,
-                chained, state.use_rd)
+                chained, state.use_rd, amp)
         # element-wise value clip 0.5, only once in RD mode (agent:272-281)
         grads = jax.tree.map(
             lambda g: jnp.where(state.use_rd,

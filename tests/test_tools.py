@@ -1,0 +1,79 @@
+"""Tools tests: BD-rate math, classical-codec bench, find_close, RD plot."""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from lbic_tpu.tools.bd import bd_rate, bd_psnr, bd_from_results
+
+
+class TestBD:
+    def test_identical_curves_zero(self):
+        bpp = [0.1, 0.3, 0.6, 1.2]
+        psnr = [28.0, 32.0, 35.0, 39.0]
+        assert abs(bd_rate(bpp, psnr, bpp, psnr)) < 1e-9
+        assert abs(bd_psnr(bpp, psnr, bpp, psnr)) < 1e-9
+
+    def test_uniform_rate_shift(self):
+        bpp = np.array([0.1, 0.3, 0.6, 1.2])
+        psnr = [28.0, 32.0, 35.0, 39.0]
+        # test uses 10% less rate everywhere -> BD-rate = -10%
+        r = bd_rate(bpp, psnr, bpp * 0.9, psnr)
+        assert abs(r + 10.0) < 0.2, r
+
+    def test_uniform_quality_shift(self):
+        bpp = [0.1, 0.3, 0.6, 1.2]
+        psnr = np.array([28.0, 32.0, 35.0, 39.0])
+        d = bd_psnr(bpp, psnr, bpp, psnr + 0.5)
+        assert abs(d - 0.5) < 0.05, d
+
+    def test_from_results_schema(self):
+        a = {"results": {"bpp": [0.1, 0.5, 1.0], "psnr": [28, 33, 38]}}
+        b = {"results": {"bpp": [0.09, 0.45, 0.9], "psnr": [28, 33, 38]}}
+        out = bd_from_results(a, b)
+        assert out["bd_rate_pct"] < -5
+
+
+@pytest.fixture
+def imgdir(tmp_path):
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        # smooth-ish image so JPEG behaves sanely
+        a = rng.integers(0, 256, (12, 16, 3), dtype=np.uint8)
+        a = np.asarray(Image.fromarray(a).resize((192, 176)))
+        Image.fromarray(a).save(tmp_path / f"i{i}.png")
+    return tmp_path
+
+
+def test_bench_codecs_jpeg(imgdir, tmp_path):
+    from lbic_tpu.tools.bench_codecs import bench
+
+    out = bench("jpeg", str(imgdir), [20, 80])
+    r = out["results"]
+    assert len(r["psnr"]) == 2
+    assert r["psnr"][1] > r["psnr"][0]      # higher quality -> higher psnr
+    assert r["bpp"][1] > r["bpp"][0]
+
+
+def test_find_close(imgdir):
+    from lbic_tpu.data.dataset import list_images
+    from lbic_tpu.tools.find_close import find_close
+
+    img = list_images(str(imgdir))[0]
+    q, r = find_close("jpeg", img, 1.0, metric="bpp")
+    assert 1 <= q <= 100
+    assert abs(r["bpp"] - 1.0) < 0.6  # coarse: jpeg q steps are chunky
+
+
+def test_plot_rd(tmp_path):
+    from lbic_tpu.tools.plot_rd import plot
+
+    p = tmp_path / "a.json"
+    json.dump({"name": "a", "results": {"bpp": [0.1, 0.5],
+                                        "psnr": [30, 35]}}, open(p, "w"))
+    out = plot([str(p)], output=str(tmp_path / "rd.png"))
+    assert os.path.getsize(out) > 1000

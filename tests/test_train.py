@@ -122,3 +122,39 @@ def test_spmd_mesh_training():
     ev = make_eval_step(md, lambda_=100.0)
     r = ev(state_sh.params, xs, xs)
     assert np.isfinite(float(r["psnr"]))
+
+
+def test_amp_bf16_training():
+    md = tiny_md()
+    state = init_state(md, jax.random.PRNGKey(0), 1e-3)
+    from lbic_tpu.train.step import make_train_step as mts
+
+    step = mts(md, lambda_=100.0, donate=False, amp=True)
+    x = batch(md)
+    for i in range(5):
+        state, m = step(state, x, x, jax.random.PRNGKey(i))
+    assert np.isfinite(float(m["loss"]))
+    # params stay f32
+    assert all(a.dtype == jnp.float32
+               for a in jax.tree.leaves(state.params))
+
+
+def test_grad_accumulation():
+    md = tiny_md()
+    from lbic_tpu.train.step import make_train_step as mts
+
+    state = init_state(md, jax.random.PRNGKey(0), 1e-3, grad_acc_iters=2)
+    step = mts(md, lambda_=100.0, donate=False, grad_acc_iters=2)
+    x = batch(md)
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    state, _ = step(state, x, x, jax.random.PRNGKey(0))
+    p1 = jax.tree.leaves(state.params)[0]
+    # first micro-step: no parameter update yet
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    state, _ = step(state, x, x, jax.random.PRNGKey(1))
+    p2 = jax.tree.leaves(state.params)[0]
+    assert not np.array_equal(np.asarray(p0), np.asarray(p2))
+    # lr get/set works through the MultiSteps wrapper
+    assert np.isclose(get_lr(state), 1e-3)
+    set_lr(state, 5e-4)
+    assert np.isclose(get_lr(state), 5e-4)

@@ -48,10 +48,15 @@ class TurboCodec:
     for the unified program; encode validates the real stream fits)."""
 
     def __init__(self, md: M.ModelDef, params, G: int = 8,
-                 hw_factor: int = 2, cdf_tables=None):
+                 hw_factor: int = 2, cdf_tables=None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a "data" axis — images
+        shard across it (embarrassingly parallel eval, the reference's
+        per-image loop agents/blkbsdimgcomp_agent.py:578 spread over
+        chips). Batch size must be divisible by the axis size."""
         assert md.M % G == 0, (md.M, G)
         self.md = md
         self.params = params
+        self.mesh = mesh
         self.G = G
         self.hw_factor = hw_factor
         self.scale_table = ent.get_scale_table()
@@ -142,7 +147,23 @@ class TurboCodec:
                 idxs.shape[1], -1, idxs.shape[-1])[:, valid_pos]
             return zhat, ys_c, idx_c.astype(jnp.int8)
 
-        fn = jax.jit(scan)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as Sp
+
+            def sh(*spec):
+                return NamedSharding(self.mesh, Sp(*spec))
+
+            rep = sh()
+            batch = sh("data")
+            fn = jax.jit(scan, in_shardings=(
+                jax.tree.map(lambda _: rep, self.params),  # params
+                batch,                                     # x
+                rep,                                       # hw
+                batch, batch,                              # lane x/pos
+                rep,                                       # is_decode
+            ), out_shardings=(batch, batch, batch))
+        else:
+            fn = jax.jit(scan)
         self._scan_cache[key] = fn
         return fn
 

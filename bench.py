@@ -24,13 +24,9 @@ BASELINE_IMG_PER_S = 1.0 / (11.3 + 19.0)
 def main():
     import jax
 
-    # Persistent compilation cache: the flagship scan takes minutes to
-    # compile through the TPU tunnel; cached executables load in seconds.
-    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               os.path.expanduser("~/.cache/jax_lbic"))
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from lbic_tpu.utils.jaxcache import enable as enable_cache
+
+    enable_cache()
 
     from lbic_tpu.config import LbicConfig
     from lbic_tpu.engine.turbo import TurboCodec

@@ -30,7 +30,13 @@ TAIL_MASS = 1e-9
 
 
 def get_scale_table(mmin=SCALES_MIN, mmax=SCALES_MAX, levels=SCALES_LEVELS):
-    return jnp.exp(jnp.linspace(math.log(mmin), math.log(mmax), levels))
+    """Host-side numpy constant (f32). Built in numpy deliberately: a
+    device round trip for a 64-float constant costs minutes through a
+    remote-TPU tunnel, and as a numpy array it embeds as a literal in
+    any traced computation that consumes it."""
+    return np.exp(
+        np.linspace(math.log(mmin), math.log(mmax), levels,
+                    dtype=np.float32)).astype(np.float32)
 
 
 def _std_cumulative(x):

@@ -16,6 +16,9 @@ AGENTS = {"BlockBasedImgCompLossyAgent": BlockBasedImgCompLossyAgent}
 
 
 def run_agent(cfg):
+    from lbic_tpu.utils.jaxcache import enable as enable_cache
+
+    enable_cache()
     cfg = process_config(cfg)
     setup_logging(cfg.log_dir)
     agent_cls = AGENTS[cfg.agent]

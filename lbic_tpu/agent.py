@@ -617,23 +617,29 @@ class BlockBasedImgCompLossyAgent:
             xb = np.asarray(block_fold(xp, self.B))
             t0 = time.time()
             streams, zhat_enc = codec.compress(xb)
+            jax.block_until_ready(zhat_enc)
             t_enc = time.time() - t0
             t0 = time.time()
             zhat_dec = codec.decompress(streams, xb.shape[1], xb.shape[2])
+            jax.block_until_ready(zhat_dec)
             t_dec = time.time() - t0
-            dif = np.abs(zhat_enc - zhat_dec)
+            # enc/dec consistency + metrics on device: only the recon PNG
+            # (if requested) and the scalar stats cross the host link
+            dif = jnp.abs(zhat_enc - zhat_dec)
+            dif_mad, dif_max = float(dif.mean()), float(dif.max())
             bpp = len(streams[0]) * 8.0 / (h * w)
-            zdec = jnp.asarray(zhat_dec)
+            zdec = zhat_dec
             if cfg.use_postpm and self.pp_params is not None:
                 from lbic_tpu.models.postproc import postproc_apply
 
                 zdec = jnp.clip(postproc_apply(self.pp_params, zdec),
                                 -0.5, 0.5)
-            rec = np.asarray(block_unfold(zdec, self.B))[0, :h, :w]
-            mse = float(np.mean((rec - x) ** 2))
+            rec_dev = block_unfold(zdec, self.B)[0, :h, :w]
+            xd = jnp.asarray(x)
+            mse = float(jnp.mean((rec_dev - xd) ** 2))
             psnr = -10 * math.log10(mse)
             mss = float(metrics.ms_ssim(
-                jnp.asarray(x[None] + 0.5), jnp.asarray(rec[None] + 0.5)))
+                xd[None] + 0.5, rec_dev[None] + 0.5))
             mssdb = -10 * math.log10(1 - mss)
             results["psnr"].append(psnr)
             results["ms-ssim"].append(mss)
@@ -644,7 +650,8 @@ class BlockBasedImgCompLossyAgent:
             if cfg.out_dir:
                 save_image(os.path.join(
                     cfg.out_dir,
-                    os.path.basename(ds.files[i]) + "_reco.png"), rec)
+                    os.path.basename(ds.files[i]) + "_reco.png"),
+                    np.asarray(rec_dev))
             self.log.info(
                 "Image %2d --> PSNR:%.2f Rate:%.4f MS-SSIM/dB:%.6f/%.2f "
                 "Enc/DecTime:%.2f/%.2f Enc-Dec.Mad/Max:%.4f/%.4f (%s)",

@@ -136,6 +136,189 @@ def decode_symbols(hw, x, pos, indexes, active, cdf, cdf_lengths, offsets,
     return symbols, x, pos
 
 
+# ------------------------------- encoder -------------------------------
+#
+# rANS encode runs in REVERSE symbol order, one independent stream per
+# (lane, channel-group) — the exact mirror of the decoder above. With a
+# uint32 state and 16-bit renormalisation every `put` emits AT MOST ONE
+# halfword (x < 2^32 and x_max = freq<<16 >= 2^16, so a single x >>= 16
+# restores x < x_max), so the encoder is a branchless vector program over
+# all N*Dmax*G lanes. Bit-identical to coding/rans32._encode_lane /
+# rans.cpp (tested); the only divergence is zigzag overflow for
+# |value| >= 2^30, far outside the 33-bit bypass range either
+# implementation can round-trip.
+#
+# TPU-critical design point: the emission side is scatter-free. A first
+# draft appended halfwords into per-lane buffers with dynamic-index
+# .at[].set — ~10k tiny scatters per image, measured SLOWER than shipping
+# the raw symbols to a host encoder. Instead:
+#   phase A (encode_emissions): a lax.scan stacks each step's <=4
+#     potential emissions densely as (T, NL, 4) value/flag planes —
+#     pure sequential HBM writes;
+#   phase B (gather_payload): each *output* halfword finds its source
+#     emission by binary search over per-lane emission-count prefix sums
+#     — work proportional to the (tiny) bitstream, all gathers.
+
+
+def encode_emissions(symbols, indexes, valid, G, cdf, cdf_lengths,
+                     offsets):
+    """Phase A: run the reverse-order rANS automaton for all lanes.
+
+    symbols/indexes: (steps, N, Dmax, M) int32 — raw wavefront-scan
+    outputs; valid: (steps, Dmax) bool schedule mask.
+
+    Returns (vals, flags, x):
+      vals : (T, NL, 4) uint16 — halfword of each potential emission
+             (T = steps*M/G reverse-order symbol slots, NL = N*Dmax*G
+             lanes, 4 = chronological emission slots per symbol:
+             bypass chunks c=2,1,0 then the main interval);
+      flags: (T, NL, 4) bool — which slots actually emitted;
+      x    : (N, Dmax, G) uint32 — final lane states.
+    Decode-order stream of lane l = [x_lo, x_hi] + reversed(chronological
+    emissions of l)."""
+    steps, N, Dmax, M = symbols.shape
+    K = M // G
+    assert K * G == M, (M, G)
+    T = steps * K
+    cdf = jnp.asarray(cdf, jnp.int32)
+    W = cdf.shape[1]
+    flat = cdf.reshape(-1)
+    cdf_lengths = jnp.asarray(cdf_lengths, jnp.int32)
+    offsets = jnp.asarray(offsets, jnp.int32)
+    # lane layout (N, Dmax, G); within a lane, channels k = m // G are
+    # sequential (decode order: d asc, k asc) -> encode order reversed.
+    sym_r = jnp.moveaxis(symbols.reshape(steps, N, Dmax, K, G), 3, 1)
+    sym_r = sym_r.reshape(T, N, Dmax, G)[::-1]
+    idx_r = jnp.moveaxis(
+        indexes.reshape(steps, N, Dmax, K, G),
+        3, 1).reshape(T, N, Dmax, G)[::-1]
+    # step of reverse slot t is (T-1-t) // K
+    dsteps = (jnp.arange(T, dtype=jnp.int32)[::-1]) // K
+    valid = jnp.asarray(valid)
+    x0 = jnp.full((N, Dmax, G), RANS32_L, jnp.uint32)
+    bypass_xmax = jnp.uint32((RANS32_L >> BYPASS_BITS) << 16)
+
+    def body(x, inp):
+        sym, idx, d = inp
+        active = jnp.broadcast_to(valid[d][None, :, None], (N, Dmax, G))
+        clen = cdf_lengths[idx]
+        max_value = clen - 2
+        value = sym - offsets[idx]
+        in_range = (value >= 0) & (value < max_value)
+        emit_v, emit_f = [], []
+
+        def emit(x, need):
+            emit_v.append((x & _M16).astype(jnp.uint16))
+            emit_f.append(need)
+            return jnp.where(need, x >> 16, x)
+
+        # bypass chunks (escape symbols), emitted before the escape
+        # interval because encode order is the reverse of decode order
+        ab = active & ~in_range
+        z = jnp.where(value >= max_value, value - max_value, value)
+        zz = ((z << 1) ^ (z >> 31)).astype(jnp.uint32)
+        for c in range(BYPASS_CHUNKS - 1, -1, -1):
+            bits = (zz >> (c * BYPASS_BITS)) & jnp.uint32(
+                (1 << BYPASS_BITS) - 1)
+            x = emit(x, ab & (x >= bypass_xmax))
+            x = jnp.where(ab, (x << BYPASS_BITS) | bits, x)
+        # main interval (escape row for bypass symbols)
+        s = jnp.where(in_range, value, max_value)
+        row_base = idx * W
+        start = flat[row_base + s].astype(jnp.uint32)
+        freq = flat[row_base + s + 1].astype(jnp.uint32) - start
+        x = emit(x, active & (x >= (freq << PRECISION)))
+        q = x // jnp.maximum(freq, jnp.uint32(1))
+        x = jnp.where(active, (q << PRECISION) + (x - q * freq) + start, x)
+        NL = N * Dmax * G
+        return x, (jnp.stack(emit_v, -1).reshape(NL, 4),
+                   jnp.stack(emit_f, -1).reshape(NL, 4))
+
+    x, (vals, flags) = jax.lax.scan(body, x0, (sym_r, idx_r, dsteps))
+    return vals, flags, x
+
+
+def lane_lengths(flags, N):
+    """(T, NL, 4) emission flags -> per-lane stream lengths incl. the two
+    state halfwords: (N, LZ) int32, plus the inclusive per-slot prefix
+    sums (T, NL) int32 reused by gather_payload."""
+    cnt = jnp.sum(flags, axis=2, dtype=jnp.int32)     # (T, NL)
+    csum = jnp.cumsum(cnt, axis=0)                     # inclusive
+    lens = (csum[-1] + 2).reshape(N, -1)
+    return lens, csum
+
+
+def gather_payload(vals, flags, csum, x, W_hw):
+    """Phase B: materialise each image's contiguous decode-order payload
+    by GATHERS (one binary search per output halfword — no scatter).
+
+    vals/flags: from encode_emissions; csum: from lane_lengths;
+    x: (N, Dmax, G) final states; W_hw: even output halfword capacity
+    (>= max per-image total; caller buckets it from lane_lengths).
+
+    Returns (lens (N, LZ) int32, packed (N, W_hw//2) uint32 halfword
+    pairs, little-endian within the uint32)."""
+    T, NL, _ = vals.shape
+    N, Dmax, G = x.shape
+    LZ = Dmax * G
+    assert N * LZ == NL, (N, LZ, NL)
+    x2 = x.reshape(N, LZ)
+    tot = csum[-1].reshape(N, LZ)                      # emissions per lane
+    lens = tot + 2
+    off = jnp.cumsum(lens, axis=1) - lens              # exclusive, (N, LZ)
+    j = jnp.broadcast_to(jnp.arange(W_hw, dtype=jnp.int32)[None], (N, W_hw))
+    nidx = jnp.arange(N, dtype=jnp.int32)[:, None]
+
+    # lane of output position j: largest l with off[n, l] <= j
+    lo = jnp.zeros_like(j)
+    hi = jnp.full_like(j, LZ)
+    for _ in range(max(1, int(np.ceil(np.log2(max(LZ, 2)))))):
+        mid = (lo + hi) >> 1
+        v = off[nidx, mid]
+        go = v <= j
+        big = hi - lo > 1
+        lo = jnp.where(go & big, mid, lo)
+        hi = jnp.where(~go & big, mid, hi)
+    lane = lo                                          # (N, W_hw)
+    k = j - off[nidx, lane]                            # position in stream
+    gl = nidx * LZ + lane                              # global lane id
+    # chronological emission index for payload position k >= 2
+    chrono = tot[nidx, lane] - 1 - (k - 2)
+    chrono = jnp.maximum(chrono, 0)
+    # first t with csum[t, lane] > chrono  (upper bound over T)
+    lo = jnp.zeros_like(j)
+    hi = jnp.full_like(j, T)
+    csum_flat = csum.reshape(-1)
+    for _ in range(max(1, int(np.ceil(np.log2(T + 1))))):
+        big = lo < hi
+        mid = (lo + hi) >> 1
+        v = csum_flat[jnp.minimum(mid, T - 1) * NL + gl]
+        go = v <= chrono
+        lo = jnp.where(big & go, mid + 1, lo)
+        hi = jnp.where(big & ~go, mid, hi)
+    t = jnp.minimum(lo, T - 1)
+    base = jnp.where(t > 0, csum_flat[jnp.maximum(t - 1, 0) * NL + gl], 0)
+    r = chrono - base                                  # rank within slot-4
+    fbase = (t * NL + gl) * 4
+    flags_flat = flags.reshape(-1)
+    f0 = flags_flat[fbase]
+    f1 = flags_flat[fbase + 1]
+    f2 = flags_flat[fbase + 2]
+    p1 = f0.astype(jnp.int32)
+    p2 = p1 + f1.astype(jnp.int32)
+    p3 = p2 + f2.astype(jnp.int32)
+    slot = jnp.where(f0 & (r == 0), 0,
+                     jnp.where(f1 & (p1 == r), 1,
+                               jnp.where(f2 & (p2 == r), 2, 3)))
+    val = vals.reshape(-1)[fbase + slot].astype(jnp.uint32)
+    val = jnp.where(k == 0, x2[nidx, lane] & _M16, val)
+    val = jnp.where(k == 1, x2[nidx, lane] >> 16, val)
+    totals = off[:, -1:] + lens[:, -1:]
+    val = jnp.where(j < totals, val, jnp.uint32(0))
+    packed = val[:, 0::2] | (val[:, 1::2] << 16)
+    return lens, packed
+
+
 def decode_block_channels(hw, x, pos, indexes, valid, G, cdf, cdf_lengths,
                           offsets, lut=None):
     """Decode one wavefront step for all (batch, lane, channel group)

@@ -48,17 +48,26 @@ class TurboCodec:
     for the unified program; encode validates the real stream fits)."""
 
     def __init__(self, md: M.ModelDef, params, G: int = 8,
-                 hw_factor: int = 2, cdf_tables=None, mesh=None):
+                 hw_factor: int = 2, cdf_tables=None, mesh=None,
+                 device_encode: bool = True):
         """mesh: optional jax.sharding.Mesh with a "data" axis — images
         shard across it (embarrassingly parallel eval, the reference's
         per-image loop agents/blkbsdimgcomp_agent.py:578 spread over
-        chips). Batch size must be divisible by the axis size."""
+        chips). Batch size must be divisible by the axis size.
+
+        device_encode: run the rANS *encoder* on device too
+        (engine/device_rans.encode_lanes) so compress only transfers the
+        final ~KB bitstream instead of the full (symbols, indexes)
+        arrays — the measured bottleneck through the host link is the
+        device->host transfer, not compute. False falls back to the
+        host C++/numpy encoder (bit-identical streams either way)."""
         assert md.M % G == 0, (md.M, G)
         self.md = md
         self.params = params
         self.mesh = mesh
         self.G = G
         self.hw_factor = hw_factor
+        self.device_encode = device_encode
         self.scale_table = ent.get_scale_table()
         self.tables = cdf_tables or ent.build_gaussian_cdfs(
             np.asarray(self.scale_table))
@@ -84,8 +93,12 @@ class TurboCodec:
 
     # ------------------------------ the scan ------------------------------
 
-    def _scan_fn(self, n, Hb, Wb):
-        key = (n, Hb, Wb)
+    def _scan_fn(self, n, Hb, Wb, compact=True):
+        """compact=True: return (zhat, valid-compacted step-major symbols,
+        int8 indexes) for the host encoder. compact=False: return the raw
+        (steps, n, Dmax, M) int32 symbol/index stacks for the on-device
+        encoder (no compaction gather; nothing leaves HBM)."""
+        key = (n, Hb, Wb, compact)
         if key in self._scan_cache:
             return self._scan_cache[key]
         md, G = self.md, self.G
@@ -139,6 +152,8 @@ class TurboCodec:
             (zpad, _, _), (ys, idxs) = jax.lax.scan(
                 body, (zpad0, lane_x0, lane_pos0), (vs_t, hs_t, valid_t))
             zhat = zpad[:, P:P + Hb, P:P + Wb, :]
+            if not compact:
+                return zhat, ys, idxs
             # compact to valid blocks only, step-major (transfer shrinks
             # from steps*Dmax to Hb*Wb rows; idx fits int8: < 64 scales)
             ys_c = jnp.moveaxis(ys, 1, 0).reshape(
@@ -155,17 +170,49 @@ class TurboCodec:
 
             rep = sh()
             batch = sh("data")
+            batch1 = sh(None, "data")  # (steps, n, ...) raw stacks
+            out_sh = ((batch, batch, batch) if compact
+                      else (batch, batch1, batch1))
             fn = jax.jit(scan, in_shardings=(
                 jax.tree.map(lambda _: rep, self.params),  # params
                 batch,                                     # x
                 rep,                                       # hw
                 batch, batch,                              # lane x/pos
                 rep,                                       # is_decode
-            ), out_shardings=(batch, batch, batch))
+            ), out_shardings=out_sh)
         else:
             fn = jax.jit(scan)
         self._scan_cache[key] = fn
         return fn
+
+    # --------------------------- device encoder ---------------------------
+
+    def _encode_fn(self, n, Hb, Wb):
+        """Jitted two-phase on-device rANS encode (device_rans docstring):
+        phase A runs the reverse-order automaton (scatter-free emission
+        stacking + lane lengths); phase B gathers the contiguous payload
+        into a host-chosen power-of-two halfword bucket."""
+        key = ("enc", n, Hb, Wb)
+        if key in self._scan_cache:
+            return self._scan_cache[key]
+        sched = self.schedule(Hb, Wb)
+        G = self.G
+        valid_t = jnp.asarray(sched.valid)
+        cdf, cdf_len, offsets = self._cdf, self._cdf_len, self._offsets
+
+        @jax.jit
+        def phase_a(ys, idxs):
+            vals, flags, x = device_rans.encode_emissions(
+                ys, idxs, valid_t, G, cdf, cdf_len, offsets)
+            lens, csum = device_rans.lane_lengths(flags, n)
+            return vals, flags, csum, x, lens
+
+        @functools.partial(jax.jit, static_argnums=4)
+        def phase_b(vals, flags, csum, x, W_hw):
+            return device_rans.gather_payload(vals, flags, csum, x, W_hw)
+
+        self._scan_cache[key] = (phase_a, phase_b)
+        return self._scan_cache[key]
 
     @functools.lru_cache(maxsize=64)
     def _expander(self, packed_len, cap):
@@ -184,20 +231,45 @@ class TurboCodec:
 
     # ------------------------------- encode -------------------------------
 
-    def compress(self, x) -> Tuple[List[bytes], np.ndarray]:
+    def compress(self, x) -> Tuple[List[bytes], jax.Array]:
         """x: (N, Hb, Wb, cx) in [-0.5, 0.5] ->
-        (rans32 streams per image, zhat)."""
+        (rans32 streams per image, zhat).
+
+        zhat is returned as a DEVICE array — callers that only need
+        metrics/equality should compute them on device; np.asarray pulls
+        it (19 MB/image batch through the host link)."""
         n, Hb, Wb, _ = x.shape
         sched = self.schedule(Hb, Wb)
         G = self.G
         lanes = sched.Dmax * G
         cap = self._caps(n, Hb, Wb)
-        fn = self._scan_fn(n, Hb, Wb)
+        fn = self._scan_fn(n, Hb, Wb, compact=not self.device_encode)
         hw = jnp.zeros((cap,), jnp.uint32)
         lx = jnp.zeros((n, sched.Dmax, G), jnp.uint32)
         lp = jnp.zeros((n, sched.Dmax, G), jnp.int32)
         zhat, ys_c, idx_c = fn(self.params, jnp.asarray(x), hw, lx, lp,
                                jnp.asarray(False))
+        if self.device_encode:
+            phase_a, phase_b = self._encode_fn(n, Hb, Wb)
+            vals, flags, csum, xst, lens = phase_a(ys_c, idx_c)
+            lens = np.asarray(lens)     # (n, LZ) — tiny, syncs phase A
+            totals = lens.sum(1)
+            # power-of-two halfword bucket bounds phase-B recompiles
+            W_hw = max(256, 1 << int(np.ceil(np.log2(int(totals.max())))))
+            _, packed = phase_b(vals, flags, csum, xst, W_hw)
+            part = np.asarray(packed)   # W_hw/2 uint32 per image
+            LZ = sched.Dmax * G
+            head0 = np.empty(1 + LZ, np.uint32)
+            head0[0] = LZ
+            streams = []
+            hw16 = np.zeros(2 * part.shape[1], np.uint16)
+            for i in range(n):
+                hw16[0::2] = part[i] & 0xFFFF
+                hw16[1::2] = part[i] >> 16
+                head0[1:] = lens[i]
+                streams.append(head0.tobytes()
+                               + hw16[:int(totals[i])].tobytes())
+            return streams, zhat
         ys_c = np.asarray(ys_c)        # (N, nblocks, M) step-major
         idx_c = np.asarray(idx_c).astype(np.int32)
         Mch = self.md.M
@@ -217,7 +289,7 @@ class TurboCodec:
                     f"stream larger than hw capacity ({len(s)}B); raise "
                     f"hw_factor (now {self.hw_factor})")
             streams.append(s)
-        return streams, np.asarray(zhat)
+        return streams, zhat
 
     # ------------------------------- decode -------------------------------
 
@@ -246,9 +318,9 @@ class TurboCodec:
         padded = np.zeros(bucket, np.uint32)
         padded[:packed.size] = packed
         starts = np.stack(starts).reshape(n, sched.Dmax, G)
-        fn = self._scan_fn(n, Hb, Wb)
+        fn = self._scan_fn(n, Hb, Wb, compact=not self.device_encode)
         hw = self._expander(bucket, cap)(jnp.asarray(padded))
         lx, lp = device_rans.init_lane_state(hw, jnp.asarray(starts))
         x0 = jnp.zeros((n, Hb, Wb, self.md.cx), jnp.float32)
         zhat, _, _ = fn(self.params, x0, hw, lx, lp, jnp.asarray(True))
-        return np.asarray(zhat)
+        return zhat

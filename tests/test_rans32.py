@@ -119,3 +119,42 @@ def test_cpp_encoder_matches_numpy(tables, rng):
         symbols, indexes, valid, M, G,
         t["cdf"], t["cdf_lengths"], t["offsets"])
     assert s_np == s_cpp
+
+
+def test_device_encoder_matches_numpy(tables, rng):
+    """encode_lanes + assemble_streams produce byte-identical rans32
+    streams to the numpy reference encoder (and hence to rans.cpp)."""
+    t = tables
+    steps, Dmax, M, G, N = 7, 5, 8, 4, 3
+    K = M // G
+    valid = rng.random((steps, Dmax)) < 0.8
+    valid[0, 0] = True
+    syms = rng.normal(0, 3.0, (N, steps, Dmax, M)).round().astype(np.int32)
+    mask = rng.random(syms.shape) < 0.02
+    syms[mask] = rng.integers(-5000, 5000, mask.sum())
+    idxs = rng.integers(0, 64, syms.shape).astype(np.int32)
+    ref = [rans32.encode_interleaved(
+        syms[i], idxs[i], valid, M, G,
+        t["cdf"], t["cdf_lengths"], t["offsets"]) for i in range(N)]
+
+    sy = jnp.asarray(np.moveaxis(syms, 0, 1))  # (steps, N, Dmax, M)
+    ix = jnp.asarray(np.moveaxis(idxs, 0, 1))
+    vals, flags, x = device_rans.encode_emissions(
+        sy, ix, jnp.asarray(valid), G,
+        t["cdf"], t["cdf_lengths"], t["offsets"])
+    lens, csum = device_rans.lane_lengths(flags, N)
+    lens = np.asarray(lens)
+    totals = lens.sum(1)
+    W_hw = max(64, 1 << int(np.ceil(np.log2(int(totals.max())))))
+    _, packed = device_rans.gather_payload(vals, flags, csum, x, W_hw)
+    packed = np.asarray(packed)
+    LZ = Dmax * G
+    for i in range(N):
+        total = int(totals[i])
+        hw = np.zeros(2 * packed.shape[1], np.uint16)
+        hw[0::2] = packed[i] & 0xFFFF
+        hw[1::2] = packed[i] >> 16
+        head = np.empty(1 + LZ, np.uint32)
+        head[0] = LZ
+        head[1:] = lens[i]
+        assert head.tobytes() + hw[:total].tobytes() == ref[i], f"img {i}"

@@ -8,7 +8,8 @@ Baseline (BASELINE.md / SURVEY.md §6): the reference takes 11.3 s encode +
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Env: LBIC_BENCH_SMALL=1 shrinks the model for CPU smoke runs;
-LBIC_BENCH_BATCH sets images per batch (default 4).
+LBIC_BENCH_BATCH sets images per batch (default 16; the scan is
+launch-latency bound, so batching images is nearly free throughput).
 """
 
 import json
@@ -33,7 +34,7 @@ def main():
     from lbic_tpu.models import lbic as M
 
     small = bool(os.environ.get("LBIC_BENCH_SMALL"))
-    batch = int(os.environ.get("LBIC_BENCH_BATCH", "4"))
+    batch = int(os.environ.get("LBIC_BENCH_BATCH", "16"))
     if small:
         cfg = LbicConfig(net_version="v9", block_size=8, KS=(3, 1, 1, 1),
                          N=96, M=24)

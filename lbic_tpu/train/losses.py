@@ -56,3 +56,36 @@ def valid_rd_loss(x, xhat, self_info, lambda_):
     p = metrics.psnr(x, xhat, data_range=1.0)
     rate = _rate_bpp(self_info, x)
     return p + lambda_ * rate, p, rate
+
+
+def train_rd_loss2(x, xhat, self_info1, self_info2, lambda_,
+                   distortion="mse", B=1, d_only=False):
+    """Two rate terms — e.g. a Gaussian-conditional latent plus an
+    EntropyBottleneck hyperlatent (TrainRDLoss.forward2 / TrainDLoss.forward2,
+    rate_dist.py:52-58, 86-91). d_only: warmup variant (rate reported but
+    not in the loss)."""
+    d = _distortion(x, xhat, distortion, B)
+    r1 = _rate_bpp(self_info1, x)
+    r2 = _rate_bpp(self_info2, x)
+    loss = lambda_ * d if d_only else r1 + r2 + lambda_ * d
+    return loss, d, r1, r2
+
+
+def train_rd_loss3(x, xhat, self_info1, self_info2_list, lambda_,
+                   distortion="mse", B=1, d_only=False):
+    """One main rate term + a list of auxiliary rate terms
+    (TrainRDLoss.forward3 / TrainDLoss.forward3, rate_dist.py:60-67, 93-99)."""
+    d = _distortion(x, xhat, distortion, B)
+    r1 = _rate_bpp(self_info1, x)
+    r2 = sum(_rate_bpp(si, x) for si in self_info2_list)
+    loss = lambda_ * d if d_only else r1 + r2 + lambda_ * d
+    return loss, d, r1, r2
+
+
+def train_rate_loss(self_info):
+    """Mean self-information = bits per subpixel
+    (rate_distortion_loss.py:5-12; ValidRateLoss is identical, 15-22)."""
+    return jnp.mean(self_info)
+
+
+valid_rate_loss = train_rate_loss

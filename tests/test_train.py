@@ -158,3 +158,31 @@ def test_grad_accumulation():
     assert np.isclose(get_lr(state), 1e-3)
     set_lr(state, 5e-4)
     assert np.isclose(get_lr(state), 5e-4)
+
+
+def test_loss_variants_two_rate_terms():
+    """forward2/forward3/rate-loss parity (rate_dist.py:52-67,
+    rate_distortion_loss.py:5-22)."""
+    from lbic_tpu.train import losses as L
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 4, 4, 12), np.float32) - 0.5)
+    xh = x + 0.01
+    si1 = jnp.asarray(rng.random((2, 4, 4, 3), np.float32))
+    si2 = jnp.asarray(rng.random((2, 4, 4, 3), np.float32))
+
+    loss, d, r1, r2 = L.train_rd_loss2(x, xh, si1, si2, 10.0)
+    assert np.isclose(float(loss), float(r1) + float(r2) + 10.0 * float(d))
+    # reference rate normalization: sum(si) / numel(x) * 3
+    assert np.isclose(float(r1), float(jnp.sum(si1)) / x.size * 3.0)
+
+    lw, dw, *_ = L.train_rd_loss2(x, xh, si1, si2, 10.0, d_only=True)
+    assert np.isclose(float(lw), 10.0 * float(dw))
+
+    l3, d3, r1b, r2b = L.train_rd_loss3(x, xh, si1, [si2, si2], 10.0)
+    assert np.isclose(float(r2b), 2 * float(r2))
+    assert np.isclose(float(l3), float(r1b) + float(r2b) + 10.0 * float(d3))
+
+    assert np.isclose(float(L.train_rate_loss(si1)),
+                      float(jnp.mean(si1)))
+    assert L.valid_rate_loss is L.train_rate_loss

@@ -154,7 +154,12 @@ class BlockBasedImgCompLossyAgent:
 
     def codec(self):
         if self._codec is None:
-            self._codec = wf.WavefrontCodec(self.md, self.state.params)
+            if self.cfg.codec_engine == "turbo":
+                from lbic_tpu.engine.turbo import TurboCodec
+                self._codec = TurboCodec(self.md, self.state.params,
+                                         G=self.cfg.turbo_groups)
+            else:
+                self._codec = wf.WavefrontCodec(self.md, self.state.params)
         return self._codec
 
     def _loaders(self, mode=None):
@@ -332,28 +337,40 @@ class BlockBasedImgCompLossyAgent:
                       self.current_epoch, psnr, rate, score)
         return score
 
-    def _cl_scan_fn(self, shape):
-        if shape not in self._cl_scan:
+    def _cl_scan_fn(self, shape, per_block=False):
+        key = shape + (per_block,)
+        if key not in self._cl_scan:
             sched = wf.make_schedule(shape[1], shape[2],
                                      wf.min_slope(self.md))
 
             def f(params, x):
-                return wf.closed_loop_scan(self.md, params, x, sched)
+                return wf.closed_loop_scan(self.md, params, x, sched,
+                                           per_block=per_block)
 
-            self._cl_scan[shape] = jax.jit(f)
-        return self._cl_scan[shape]
+            self._cl_scan[key] = jax.jit(f)
+        return self._cl_scan[key]
 
     def validate_recu_reco(self, valid_loader):
         """Closed-loop validation via the on-device wavefront scan
         (replaces the reference's 256 sequential tile-batched model calls,
-        agent:403-479)."""
+        agent:403-479). With cfg.save_blkbsd_rdcosts, dumps per-block RD
+        cost maps bits + lambda*mse to out_dir (agent:406-408, 460-475)."""
+        dump = bool(self.cfg.save_blkbsd_rdcosts and self.cfg.out_dir)
+        rdcost_maps, orig_imgs = [], []
         sums = np.zeros(3)
         n = 0
         for x, z in valid_loader:
             xp, _ = pad_to_block_multiple(jnp.asarray(x), self.B)
             xb = block_fold(xp, self.B)
-            f = self._cl_scan_fn(xb.shape)
-            zhat, bits = f(self.state.params, xb)
+            f = self._cl_scan_fn(xb.shape, per_block=dump)
+            if dump:
+                zhat, bits, bmap = f(self.state.params, xb)
+                mse_blk = jnp.sum(jnp.square(xb - zhat), axis=-1)
+                rd = bmap + self.lambda_ * mse_blk
+                rdcost_maps.append(np.asarray(rd))
+                orig_imgs.append(np.asarray(block_unfold(xb + 0.5, self.B)))
+            else:
+                zhat, bits = f(self.state.params, xb)
             num_px = x.shape[0] * xp.shape[1] * xp.shape[2]
             bpp = float(bits) / num_px
             p = float(metrics.psnr(xb, zhat))
@@ -363,6 +380,17 @@ class BlockBasedImgCompLossyAgent:
         loss, psnr, rate = sums / max(n, 1)
         self.log.info("[validrr] epoch %d: psnr=%.4f bpp=%.5f score=%.6f",
                       self.current_epoch, psnr, rate, loss)
+        if dump and rdcost_maps:
+            # npz counterpart of the reference's torch.save dumps
+            # (list_rdcost_tensors_per_blk_B{B}_{lambda}.pt, agent:470-475)
+            path = os.path.join(
+                self.cfg.out_dir,
+                f"rdcosts_per_blk_B{self.B}_{self.lambda_}.npz")
+            np.savez(path, *rdcost_maps)
+            np.savez(os.path.join(
+                self.cfg.out_dir,
+                f"orig_images_B{self.B}_{self.lambda_}.npz"), *orig_imgs)
+            self.log.info("saved per-block RD cost maps to %s", path)
         return loss
 
     def train_one_acl(self):

@@ -47,10 +47,24 @@ class LbicConfig:
     use_amp: bool = False
     validate_every: int = 1
     validate_recu_reco_every: int = 5
+    # per-block RD-cost dump during closed-loop validation (the reference's
+    # save_blkbsd_rdcosts_to_disk switch, agents/blkbsdimgcomp_agent.py:406)
+    save_blkbsd_rdcosts: bool = False
     chained_training: bool = False
     resume_training: bool = False
     checkpoint_file: str = "checkpoint"
     modelbest_file_load: str = "model_best_acl_Xrr"
+
+    # codec engine for eval_model:
+    #   "wavefront" — single rANS stream per image (host C++ coder):
+    #     reference-parity bitstream overhead (~8 B/image), slower decode
+    #     (one host sync per wavefront step);
+    #   "turbo" — lane-interleaved rans32, fully on-device enc+dec:
+    #     ~100x the round-trip throughput, but Dmax*turbo_groups streams
+    #     per image cost 8 B each (measured 0.008 bpp/group-count at
+    #     768x512 — material at the lowest rate points).
+    codec_engine: str = "wavefront"  # wavefront | turbo
+    turbo_groups: int = 8
 
     # ACL
     acl_bool: bool = True

@@ -316,7 +316,7 @@ def decode_step_v4(md, params, zpad, yqpad, y_sym, means, vs, hs, Hb, Wb):
 
 
 def closed_loop_scan(md: M.ModelDef, params, x, sched: Schedule,
-                     quant8: bool = False):
+                     quant8: bool = False, per_block: bool = False):
     """Whole closed loop as ONE lax.scan on device — no host round trips.
 
     The TPU equivalent of validate_recu_reco(_fast)
@@ -324,7 +324,9 @@ def closed_loop_scan(md: M.ModelDef, params, x, sched: Schedule,
     block conditioned on committed neighbors, WITHOUT entropy coding, and
     accumulate the closed-loop self-information (bits) of the symbols.
 
-    x: (N, Hb, Wb, cx). Returns (zhat (N,Hb,Wb,cx), total_bits ()).
+    x: (N, Hb, Wb, cx). Returns (zhat (N,Hb,Wb,cx), total_bits ()), plus a
+    (N, Hb, Wb) per-block bits map when per_block=True (the RD-cost-map
+    feature of validate_recu_reco, agent:406-408, 460-475).
     quant8: round committed blocks through 8-bit (agent:443-445)."""
     n, Hb, Wb, _ = x.shape
     P = md.ms_lru
@@ -333,8 +335,10 @@ def closed_loop_scan(md: M.ModelDef, params, x, sched: Schedule,
     vs_t = jnp.asarray(sched.vs)
     hs_t = jnp.asarray(sched.hs)
     valid_t = jnp.asarray(sched.valid)
+    bmap0 = jnp.zeros((n, Hb, Wb), jnp.float32)
 
-    def body(zpad, inp):
+    def body(carry, inp):
+        zpad, bmap = carry
         vs, hs, valid = inp
         vi = jnp.clip(vs, 0, Hb - 1)
         hi = jnp.clip(hs, 0, Wb - 1)
@@ -347,9 +351,12 @@ def closed_loop_scan(md: M.ModelDef, params, x, sched: Schedule,
         y_sym = jnp.round(y - means)
         y_qnt = y_sym + means
         lik = ent.gaussian_likelihood(y_qnt, scales, means)
-        bits = jnp.sum(
-            jnp.where(valid[None, :, None],
-                      -jnp.log2(_unflatten_nd(lik, n)), 0.0))
+        blk_bits = jnp.where(
+            valid[None, :],
+            jnp.sum(-jnp.log2(_unflatten_nd(lik, n)), axis=-1), 0.0)
+        bits = jnp.sum(blk_bits)
+        if per_block:
+            bmap = bmap.at[:, vs, hs].add(blk_bits, mode="drop")
         xhat = M.synthesis_block(md, params, zwin_tr.reshape(
             (-1,) + zwin_tr.shape[2:]), y_qnt)
         xhat = jnp.clip(xhat, -0.5, 0.5)
@@ -357,10 +364,14 @@ def closed_loop_scan(md: M.ModelDef, params, x, sched: Schedule,
             xhat = jnp.round((xhat + 0.5) * 255.0) / 255.0 - 0.5
         zpad = zpad.at[:, vs + P, hs + P, :].set(
             _unflatten_nd(xhat, n).astype(zpad.dtype), mode="drop")
-        return zpad, bits
+        return (zpad, bmap), bits
 
-    zpad, bits = jax.lax.scan(body, zpad0, (vs_t, hs_t, valid_t))
-    return zpad[:, P:P + Hb, P:P + Wb, :], jnp.sum(bits)
+    (zpad, bmap), bits = jax.lax.scan(
+        body, (zpad0, bmap0), (vs_t, hs_t, valid_t))
+    zhat = zpad[:, P:P + Hb, P:P + Wb, :]
+    if per_block:
+        return zhat, jnp.sum(bits), bmap
+    return zhat, jnp.sum(bits)
 
 
 # --------------------------------- codec ---------------------------------

@@ -166,3 +166,22 @@ def test_bpp_matches_entropy_estimate():
     # rANS overhead is small; estimate from random-param model is loose
     assert actual_bits < 2.0 * est_bits + 2000
     assert actual_bits > 0.3 * est_bits
+
+
+def test_closed_loop_per_block_bits_map():
+    """per_block=True returns a (N,Hb,Wb) bits map consistent with the
+    scalar total (the RD-cost-map dump of validate_recu_reco,
+    reference agent:406-408, 460-475)."""
+    import jax.numpy as jnp
+    cfg = tiny_cfg()
+    md = M.make_model_def(cfg)
+    params = M.init_params(md, jax.random.PRNGKey(0))
+    x = jnp.asarray(rand_x(md, 2, 5, 7, seed=3))
+    sched = wf.make_schedule(5, 7, wf.min_slope(md))
+    z1, b1 = wf.closed_loop_scan(md, params, x, sched)
+    z2, b2, bmap = wf.closed_loop_scan(md, params, x, sched, per_block=True)
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    assert np.isclose(float(b1), float(b2))
+    assert bmap.shape == (2, 5, 7)
+    assert np.isclose(float(jnp.sum(bmap)), float(b1), rtol=1e-5)
+    assert np.all(np.asarray(bmap) > 0)

@@ -161,7 +161,7 @@ def decode_symbols(hw, x, pos, indexes, active, cdf, cdf_lengths, offsets,
 
 
 def encode_emissions(symbols, indexes, valid, G, cdf, cdf_lengths,
-                     offsets):
+                     offsets, unroll: int = 1):
     """Phase A: run the reverse-order rANS automaton for all lanes.
 
     symbols/indexes: (steps, N, Dmax, M) int32 — raw wavefront-scan
@@ -175,11 +175,18 @@ def encode_emissions(symbols, indexes, valid, G, cdf, cdf_lengths,
       flags: (T, NL, 4) bool — which slots actually emitted;
       x    : (N, Dmax, G) uint32 — final lane states.
     Decode-order stream of lane l = [x_lo, x_hi] + reversed(chronological
-    emissions of l)."""
+    emissions of l).
+
+    unroll: symbol slots per lax.scan iteration. Measured on v5e at the
+    flagship shape: no effect (0.59 s at unroll 1/4/8/16 for 2664 slots x
+    6144 lanes) — the cost is the sequential automaton itself, not scan
+    overhead. Kept because other shapes may differ."""
     steps, N, Dmax, M = symbols.shape
     K = M // G
     assert K * G == M, (M, G)
     T = steps * K
+    while T % unroll:
+        unroll //= 2
     cdf = jnp.asarray(cdf, jnp.int32)
     W = cdf.shape[1]
     flat = cdf.reshape(-1)
@@ -197,9 +204,9 @@ def encode_emissions(symbols, indexes, valid, G, cdf, cdf_lengths,
     valid = jnp.asarray(valid)
     x0 = jnp.full((N, Dmax, G), RANS32_L, jnp.uint32)
     bypass_xmax = jnp.uint32((RANS32_L >> BYPASS_BITS) << 16)
+    NL = N * Dmax * G
 
-    def body(x, inp):
-        sym, idx, d = inp
+    def one_slot(x, sym, idx, d):
         active = jnp.broadcast_to(valid[d][None, :, None], (N, Dmax, G))
         clen = cdf_lengths[idx]
         max_value = clen - 2
@@ -230,12 +237,24 @@ def encode_emissions(symbols, indexes, valid, G, cdf, cdf_lengths,
         x = emit(x, active & (x >= (freq << PRECISION)))
         q = x // jnp.maximum(freq, jnp.uint32(1))
         x = jnp.where(active, (q << PRECISION) + (x - q * freq) + start, x)
-        NL = N * Dmax * G
         return x, (jnp.stack(emit_v, -1).reshape(NL, 4),
                    jnp.stack(emit_f, -1).reshape(NL, 4))
 
-    x, (vals, flags) = jax.lax.scan(body, x0, (sym_r, idx_r, dsteps))
-    return vals, flags, x
+    def body(x, inp):
+        sym_u, idx_u, d_u = inp        # (unroll, N, Dmax, G) / (unroll,)
+        vs, fs = [], []
+        for u in range(unroll):
+            x, (v, f) = one_slot(x, sym_u[u], idx_u[u], d_u[u])
+            vs.append(v)
+            fs.append(f)
+        return x, (jnp.stack(vs), jnp.stack(fs))
+
+    x, (vals, flags) = jax.lax.scan(
+        body, x0,
+        (sym_r.reshape(T // unroll, unroll, N, Dmax, G),
+         idx_r.reshape(T // unroll, unroll, N, Dmax, G),
+         dsteps.reshape(T // unroll, unroll)))
+    return vals.reshape(T, NL, 4), flags.reshape(T, NL, 4), x
 
 
 def lane_lengths(flags, N):
@@ -320,13 +339,17 @@ def gather_payload(vals, flags, csum, x, W_hw):
 
 
 def decode_block_channels(hw, x, pos, indexes, valid, G, cdf, cdf_lengths,
-                          offsets, lut=None):
+                          offsets, lut=None, unroll=False):
     """Decode one wavefront step for all (batch, lane, channel group)
     streams.
 
     x, pos: (N, Dmax, G) lane states
     indexes: (N, Dmax, M) int32 — cdf rows for this step's blocks
     valid: (Dmax,) bool — schedule mask
+    unroll: statically unroll the K = M/G inner symbol loop instead of a
+    fori_loop (measured on v5e: the fori_loop is FASTER inside the
+    wavefront scan — unrolling blows up the scan body's HLO and loses
+    ~70% throughput; kept as an option for other shapes).
     Returns (symbols (N, Dmax, M) int32, x', pos')."""
     N, Dmax, M = indexes.shape
     K = M // G
@@ -334,6 +357,15 @@ def decode_block_channels(hw, x, pos, indexes, valid, G, cdf, cdf_lengths,
     # channel m = k*G + g decodes at inner iteration k on stream (i, g)
     idx_r = jnp.moveaxis(indexes.reshape(N, Dmax, K, G), 2, 0)  # (K,N,D,G)
     act = jnp.broadcast_to(valid[None, :, None], (N, Dmax, G))
+    if unroll:
+        out = []
+        for k in range(K):
+            sym, x, pos = decode_symbols(
+                hw, x, pos, idx_r[k], act, cdf, cdf_lengths, offsets,
+                lut=lut)
+            out.append(sym)
+        symbols = jnp.stack(out, axis=2).reshape(N, Dmax, M)
+        return symbols, x, pos
 
     def body(k, carry):
         x, pos, out = carry

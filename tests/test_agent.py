@@ -94,3 +94,20 @@ def test_model_size_and_flops(tiny_exp):
     assert 0 < active < total
     fl = agent.flops_estimation(hw=(64, 64))
     assert fl > 0
+
+
+def test_eval_model_turbo_engine(tiny_exp):
+    """codec_engine='turbo' runs eval through TurboCodec (on-device rANS)
+    and produces the same results schema."""
+    from lbic_tpu.engine.turbo import TurboCodec
+
+    cfg, _, _ = tiny_exp
+    cfg.mode = "eval_model"
+    cfg.codec_engine = "turbo"
+    cfg.turbo_groups = 4
+    agent = BlockBasedImgCompLossyAgent(cfg)
+    assert isinstance(agent.codec(), TurboCodec)
+    out = agent.eval_model()
+    r = out["results"]
+    assert len(r["psnr"]) == 2
+    assert all(b > 0 for b in r["bpp"])

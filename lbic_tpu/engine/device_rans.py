@@ -68,6 +68,124 @@ def build_peek_lut(cdf, cdf_lengths):
     return lut
 
 
+def build_fused_luts(cdf, cdf_lengths, offsets):
+    """Two peek-indexed tables that fold EVERY per-symbol table lookup of
+    the decoder into two gathers (measured driver: each gather HLO in the
+    wavefront scan costs ~50 us latency regardless of table size — LUT
+    beats 12-gather binary search 2.2x — so the win is gather COUNT):
+
+      pair_lut (rows * 2^16, 2) uint32: per (row, peek), the INTERLEAVED
+        pair [symbol info, (start << 16) | freq] — one 8-byte contiguous
+        (single cache line) slice-gather fetches everything the hot path
+        needs. Word 0: symbol value + 2^15 (biased, so bit 31 is clear)
+        for in-range peeks; bit 31 set for escape-interval peeks.
+      mo_lut  (rows,) int32: (max_value << 16) | (offset + 2^15) — the
+        per-row constants the (rare) bypass path needs.
+    """
+    cdf = np.asarray(cdf)
+    cdf_lengths = np.asarray(cdf_lengths)
+    offsets = np.asarray(offsets)
+    rows = cdf.shape[0]
+    pair_lut = np.zeros((rows << PRECISION, 2), np.uint32)
+    mo_lut = np.zeros((rows,), np.int32)
+    peeks = np.arange(1 << PRECISION)
+    for r in range(rows):
+        n = int(cdf_lengths[r])
+        s = np.searchsorted(cdf[r, :n], peeks, side="right") - 1
+        np.clip(s, 0, n - 2, out=s)
+        max_value = n - 2
+        off = int(offsets[r])
+        sym = np.where(s == max_value, np.uint32(1 << 31),
+                       (s + off + (1 << 15)).astype(np.uint32))
+        start = cdf[r, s].astype(np.uint32)
+        freq = cdf[r, s + 1].astype(np.uint32) - start
+        base = r << PRECISION
+        pair_lut[base:base + (1 << PRECISION), 0] = sym
+        pair_lut[base:base + (1 << PRECISION), 1] = (start << 16) | freq
+        mo_lut[r] = (max_value << 16) | (off + (1 << 15))
+    return pair_lut, mo_lut
+
+
+def _pair_gather(tbl2, idx):
+    """One 8-byte contiguous slice-gather: tbl2 (T, 2), idx (...,) ->
+    (..., 2). A single random cache-line touch per lane instead of two."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(idx.ndim,), collapsed_slice_dims=(0,),
+        start_index_map=(0,))
+    return jax.lax.gather(tbl2, idx[..., None], dn, (1, 2),
+                          mode=jax.lax.GatherScatterMode.CLIP)
+
+
+def decode_symbols_fused(hw, x, pos, indexes, active, pair_lut, mo_lut,
+                         cheap=None):
+    """Decode ONE symbol per lane with 3 random memory touches (vs ~9
+    gathers in decode_symbols): the interleaved (sym, start|freq) pair,
+    mo_lut, and one contiguous 4-halfword prefetch that serves the main
+    renorm refill AND up to 3 bypass-chunk refills. Bit-identical to
+    decode_symbols (tested).
+
+    cheap: optional traced bool — when True (the encoder's pass through
+    the unified program, where decoded symbols are discarded) all gather
+    indices are clamped to 0 so every lane hits one cache line; gather
+    cost is data-dependent HBM random access (measured: 2 gathers = 0.38s
+    over the flagship decode vs ~0 when uniform), so this makes the dead
+    branch nearly free WITHOUT splitting the program (bit-exactness needs
+    encode and decode to share one executable)."""
+    peek32 = x & _M16
+    peek = peek32.astype(jnp.int32)
+    flat_i = (indexes << PRECISION) + peek
+    if cheap is not None:
+        flat_i = jnp.where(cheap, 0, flat_i)
+    pair = _pair_gather(pair_lut, flat_i)                        # touch 1
+    symw = pair[..., 0]
+    sf = pair[..., 1]
+    sym = (symw & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) - (1 << 15)
+    start = sf >> 16
+    freq = sf & jnp.uint32(0xFFFF)
+    # prefetch the at-most-4 halfwords this symbol can consume   # touch 2
+    T = hw.shape[0]
+    p0 = jnp.clip(pos, 0, T - 4)
+    if cheap is not None:
+        p0 = jnp.where(cheap, 0, p0)
+    h4 = hw[p0[..., None] + jnp.arange(4)]                # (..., 4)
+    # normally pos == p0 so k starts at 0; near the buffer end the clip
+    # shifts the window and k compensates (only padding lives there)
+    k = pos - p0
+
+    def refill(x, pos, k, need):
+        nxt = jnp.where(k == 0, h4[..., 0],
+                        jnp.where(k == 1, h4[..., 1],
+                                  jnp.where(k == 2, h4[..., 2],
+                                            h4[..., 3])))
+        x = jnp.where(need, (x << 16) | nxt, x)
+        pos = jnp.where(need, pos + 1, pos)
+        k = jnp.where(need, k + 1, k)
+        return x, pos, k
+
+    x_new = freq * (x >> PRECISION) + peek32 - start
+    x = jnp.where(active, x_new, x)
+    x, pos, k = refill(x, pos, k, (x < RANS32_L) & active)
+
+    is_bypass = active & ((symw >> 31) != 0)
+    mo_idx = jnp.where(cheap, 0, indexes) if cheap is not None else indexes
+    mo = mo_lut[mo_idx]                                          # touch 3
+    max_value = mo >> 16
+    offset = (mo & 0xFFFF) - (1 << 15)
+    z = jnp.zeros_like(peek, jnp.uint32)
+    for c in range(BYPASS_CHUNKS):
+        bits = x & ((1 << BYPASS_BITS) - 1)
+        x = jnp.where(is_bypass, x >> BYPASS_BITS, x)
+        x, pos, k = refill(x, pos, k, (x < RANS32_L) & is_bypass)
+        z = z | jnp.where(is_bypass, bits << (c * BYPASS_BITS),
+                          jnp.uint32(0))
+    zi = z.astype(jnp.int32)
+    raw = (zi >> 1) ^ -(zi & 1)  # unzigzag
+    value = jnp.where(raw >= 0, raw + max_value, raw)
+    symbols = jnp.where(is_bypass, value + offset, sym)
+    symbols = jnp.where(active, symbols, 0)
+    return symbols, x, pos
+
+
 def decode_symbols(hw, x, pos, indexes, active, cdf, cdf_lengths, offsets,
                    search_iters=None, lut=None):
     """Decode ONE symbol per lane (vectorized).
@@ -160,8 +278,31 @@ def decode_symbols(hw, x, pos, indexes, active, cdf, cdf_lengths, offsets,
 #     — work proportional to the (tiny) bitstream, all gathers.
 
 
+def build_encode_luts(cdf, cdf_lengths, offsets):
+    """Gather-count reduction for the encoder (same driver as
+    build_fused_luts):
+      sf_rows (rows, W-1) uint32: (start << 16) | freq per interval s;
+      mo_lut  (rows,) int32: (max_value << 16) | (offset + 2^15).
+    """
+    cdf = np.asarray(cdf)
+    cdf_lengths = np.asarray(cdf_lengths)
+    offsets = np.asarray(offsets)
+    rows, W = cdf.shape
+    start = cdf[:, : W - 1].astype(np.uint32)
+    freq = cdf[:, 1:].astype(np.uint32) - start
+    # freq < 2^16 within every row's valid length (>= 2 intervals per row);
+    # padded tail regions are never addressed (s <= max_value)
+    for r in range(rows):
+        n = int(cdf_lengths[r])
+        assert freq[r, : n - 1].max() < (1 << 16)
+    sf_rows = (start << 16) | (freq & 0xFFFF)
+    mo_lut = (((cdf_lengths - 2) << 16)
+              | ((offsets + (1 << 15)) & 0xFFFF)).astype(np.int32)
+    return sf_rows, mo_lut
+
+
 def encode_emissions(symbols, indexes, valid, G, cdf, cdf_lengths,
-                     offsets, unroll: int = 1):
+                     offsets, unroll: int = 1, enc_luts=None):
     """Phase A: run the reverse-order rANS automaton for all lanes.
 
     symbols/indexes: (steps, N, Dmax, M) int32 — raw wavefront-scan
@@ -205,12 +346,20 @@ def encode_emissions(symbols, indexes, valid, G, cdf, cdf_lengths,
     x0 = jnp.full((N, Dmax, G), RANS32_L, jnp.uint32)
     bypass_xmax = jnp.uint32((RANS32_L >> BYPASS_BITS) << 16)
     NL = N * Dmax * G
+    if enc_luts is not None:
+        sf_rows, mo_lut = enc_luts
+        sf_flat = sf_rows.reshape(-1)
+        Wsf = sf_rows.shape[1]
 
     def one_slot(x, sym, idx, d):
         active = jnp.broadcast_to(valid[d][None, :, None], (N, Dmax, G))
-        clen = cdf_lengths[idx]
-        max_value = clen - 2
-        value = sym - offsets[idx]
+        if enc_luts is not None:
+            mo = mo_lut[idx]
+            max_value = mo >> 16
+            value = sym - ((mo & 0xFFFF) - (1 << 15))
+        else:
+            max_value = cdf_lengths[idx] - 2
+            value = sym - offsets[idx]
         in_range = (value >= 0) & (value < max_value)
         emit_v, emit_f = [], []
 
@@ -231,9 +380,14 @@ def encode_emissions(symbols, indexes, valid, G, cdf, cdf_lengths,
             x = jnp.where(ab, (x << BYPASS_BITS) | bits, x)
         # main interval (escape row for bypass symbols)
         s = jnp.where(in_range, value, max_value)
-        row_base = idx * W
-        start = flat[row_base + s].astype(jnp.uint32)
-        freq = flat[row_base + s + 1].astype(jnp.uint32) - start
+        if enc_luts is not None:
+            sf = sf_flat[idx * Wsf + s]
+            start = sf >> 16
+            freq = sf & jnp.uint32(0xFFFF)
+        else:
+            row_base = idx * W
+            start = flat[row_base + s].astype(jnp.uint32)
+            freq = flat[row_base + s + 1].astype(jnp.uint32) - start
         x = emit(x, active & (x >= (freq << PRECISION)))
         q = x // jnp.maximum(freq, jnp.uint32(1))
         x = jnp.where(active, (q << PRECISION) + (x - q * freq) + start, x)
@@ -339,7 +493,8 @@ def gather_payload(vals, flags, csum, x, W_hw):
 
 
 def decode_block_channels(hw, x, pos, indexes, valid, G, cdf, cdf_lengths,
-                          offsets, lut=None, unroll=False):
+                          offsets, lut=None, unroll=False, fused=None,
+                          cheap=None):
     """Decode one wavefront step for all (batch, lane, channel group)
     streams.
 
@@ -350,6 +505,9 @@ def decode_block_channels(hw, x, pos, indexes, valid, G, cdf, cdf_lengths,
     fori_loop (measured on v5e: the fori_loop is FASTER inside the
     wavefront scan — unrolling blows up the scan body's HLO and loses
     ~70% throughput; kept as an option for other shapes).
+    fused: optional (pair_lut, mo_lut) from build_fused_luts — uses the
+    3-touch decode_symbols_fused path (fastest on v5e). cheap: traced
+    bool forwarded to it (see decode_symbols_fused).
     Returns (symbols (N, Dmax, M) int32, x', pos')."""
     N, Dmax, M = indexes.shape
     K = M // G
@@ -357,6 +515,19 @@ def decode_block_channels(hw, x, pos, indexes, valid, G, cdf, cdf_lengths,
     # channel m = k*G + g decodes at inner iteration k on stream (i, g)
     idx_r = jnp.moveaxis(indexes.reshape(N, Dmax, K, G), 2, 0)  # (K,N,D,G)
     act = jnp.broadcast_to(valid[None, :, None], (N, Dmax, G))
+    if fused is not None:
+        pair_lut, mo_lut = fused
+
+        def body_f(k, carry):
+            x, pos, out = carry
+            sym, x, pos = decode_symbols_fused(
+                hw, x, pos, idx_r[k], act, pair_lut, mo_lut, cheap=cheap)
+            return x, pos, out.at[k].set(sym)
+
+        out0 = jnp.zeros((K, N, Dmax, G), jnp.int32)
+        x, pos, out = jax.lax.fori_loop(0, K, body_f, (x, pos, out0))
+        symbols = jnp.moveaxis(out, 0, 2).reshape(N, Dmax, M)
+        return symbols, x, pos
     if unroll:
         out = []
         for k in range(K):

@@ -74,8 +74,14 @@ class TurboCodec:
         self._cdf = jnp.asarray(self.tables["cdf"])
         self._cdf_len = jnp.asarray(self.tables["cdf_lengths"])
         self._offsets = jnp.asarray(self.tables["offsets"])
-        self._lut = jnp.asarray(device_rans.build_peek_lut(
-            self.tables["cdf"], self.tables["cdf_lengths"]))
+        pair_lut, mo_lut = device_rans.build_fused_luts(
+            self.tables["cdf"], self.tables["cdf_lengths"],
+            self.tables["offsets"])
+        self._fused = (jnp.asarray(pair_lut), jnp.asarray(mo_lut))
+        sf_rows, mo2 = device_rans.build_encode_luts(
+            self.tables["cdf"], self.tables["cdf_lengths"],
+            self.tables["offsets"])
+        self._enc_luts = (jnp.asarray(sf_rows), jnp.asarray(mo2))
         self._sched_cache = {}
         self._scan_cache = {}
 
@@ -108,7 +114,7 @@ class TurboCodec:
         hs_t = jnp.asarray(sched.hs)
         valid_t = jnp.asarray(sched.valid)
         cdf, cdf_len, offsets = self._cdf, self._cdf_len, self._offsets
-        lut = self._lut
+        fused = self._fused
         scale_table = self.scale_table
         # step-major positions of valid blocks in the (steps*Dmax) grid:
         # compacting on device cuts the encoder's symbol transfer ~3x
@@ -140,7 +146,8 @@ class TurboCodec:
                 # decoder branch: on-device rANS
                 sym_dec, lx, lp = device_rans.decode_block_channels(
                     hw, lx, lp, idx_b, valid & is_decode, G,
-                    cdf, cdf_len, offsets, lut=lut)
+                    cdf, cdf_len, offsets, fused=fused,
+                    cheap=jnp.logical_not(is_decode))
                 y_sym = jnp.where(is_decode, sym_dec, y_sym_enc)
                 # shared tail: dequantize + synthesis + commit
                 y_qnt = wf._flatten_nd(y_sym).astype(jnp.float32) + means
@@ -199,11 +206,13 @@ class TurboCodec:
         G = self.G
         valid_t = jnp.asarray(sched.valid)
         cdf, cdf_len, offsets = self._cdf, self._cdf_len, self._offsets
+        enc_luts = self._enc_luts
 
         @jax.jit
         def phase_a(ys, idxs):
             vals, flags, x = device_rans.encode_emissions(
-                ys, idxs, valid_t, G, cdf, cdf_len, offsets)
+                ys, idxs, valid_t, G, cdf, cdf_len, offsets,
+                enc_luts=enc_luts)
             lens, csum = device_rans.lane_lengths(flags, n)
             return vals, flags, csum, x, lens
 

@@ -158,3 +158,65 @@ def test_device_encoder_matches_numpy(tables, rng):
         head[0] = LZ
         head[1:] = lens[i]
         assert head.tobytes() + hw[:total].tobytes() == ref[i], f"img {i}"
+
+
+def test_fused_decoder_matches_numpy(tables, rng):
+    """decode_block_channels(fused=...) — the 3-touch interleaved-LUT
+    path the TurboCodec uses on TPU — is bit-identical to the reference
+    decoder, including bypass (escape) symbols."""
+    steps, Dmax, M, G = 6, 4, 8, 4
+    N = 2
+    t = tables
+    fused = tuple(jnp.asarray(a) for a in device_rans.build_fused_luts(
+        t["cdf"], t["cdf_lengths"], t["offsets"]))
+    all_syms, all_idx = [], []
+    s0, i0, valid = make_symbols(rng, steps, Dmax, M)
+    streams = []
+    for n in range(N):
+        s, ix, _ = make_symbols(rng, steps, Dmax, M)
+        all_syms.append(s)
+        all_idx.append(ix)
+        streams.append(rans32.encode_interleaved(
+            s, ix, valid, M, G, t["cdf"], t["cdf_lengths"], t["offsets"]))
+    hws, starts = [], []
+    off = 0
+    for sbytes in streams:
+        h, st = rans32.parse_header(sbytes)
+        hws.append(h)
+        starts.append(st + off)
+        off += len(h)
+    hw = jnp.asarray(np.concatenate(hws).astype(np.uint32))
+    starts = np.stack(starts).reshape(N, Dmax, G)
+    x, pos = device_rans.init_lane_state(hw, starts)
+    cdf = jnp.asarray(t["cdf"])
+    cl = jnp.asarray(t["cdf_lengths"])
+    offs = jnp.asarray(t["offsets"])
+    for d in range(steps):
+        idx = jnp.asarray(np.stack([all_idx[n][d] for n in range(N)]))
+        sym, x, pos = device_rans.decode_block_channels(
+            hw, x, pos, idx, jnp.asarray(valid[d]), G, cdf, cl, offs,
+            fused=fused)
+        for n in range(N):
+            expect = np.where(valid[d][:, None], all_syms[n][d], 0)
+            np.testing.assert_array_equal(
+                np.asarray(sym[n]), expect, err_msg=f"step {d} img {n}")
+
+
+def test_device_encoder_enc_luts_identical(tables, rng):
+    """encode_emissions with packed encode LUTs emits exactly the same
+    (vals, flags, states) as the table-gather path."""
+    steps, Dmax, M, G = 5, 4, 8, 4
+    N = 2
+    t = tables
+    s, ix, valid = make_symbols(rng, steps, Dmax, M)
+    sy = jnp.asarray(np.stack([s, s[::-1]]).swapaxes(0, 1))  # (steps,N,D,M)
+    idx = jnp.asarray(np.stack([ix, ix[::-1]]).swapaxes(0, 1))
+    args = (sy, idx, jnp.asarray(valid), G, jnp.asarray(t["cdf"]),
+            jnp.asarray(t["cdf_lengths"]), jnp.asarray(t["offsets"]))
+    v1, f1, x1 = device_rans.encode_emissions(*args)
+    luts = tuple(jnp.asarray(a) for a in device_rans.build_encode_luts(
+        t["cdf"], t["cdf_lengths"], t["offsets"]))
+    v2, f2, x2 = device_rans.encode_emissions(*args, enc_luts=luts)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))

@@ -74,20 +74,22 @@ def build_fused_luts(cdf, cdf_lengths, offsets):
     wavefront scan costs ~50 us latency regardless of table size — LUT
     beats 12-gather binary search 2.2x — so the win is gather COUNT):
 
-      pair_lut (rows * 2^16, 2) uint32: per (row, peek), the INTERLEAVED
-        pair [symbol info, (start << 16) | freq] — one 8-byte contiguous
-        (single cache line) slice-gather fetches everything the hot path
-        needs. Word 0: symbol value + 2^15 (biased, so bit 31 is clear)
-        for in-range peeks; bit 31 set for escape-interval peeks.
-      mo_lut  (rows,) int32: (max_value << 16) | (offset + 2^15) — the
-        per-row constants the (rare) bypass path needs.
+      quad_lut (rows * 2^16, 4) uint32: per (row, peek), ALL the data the
+        hot path needs, fetched with ONE 16-byte contiguous slice-gather
+        (measured on v5e: a 16B slice costs no more than a 4B element
+        gather — the cost is per random touch, not per byte):
+          word 0: symbol value + 2^15 (biased; bit 31 set marks the
+                  escape interval / bypass-coded symbols)
+          word 1: (start << 16) | freq of the interval containing peek
+          word 2: (max_value << 16) | (offset + 2^15) — the per-row
+                  constants the bypass path needs
+          word 3: padding (alignment)
     """
     cdf = np.asarray(cdf)
     cdf_lengths = np.asarray(cdf_lengths)
     offsets = np.asarray(offsets)
     rows = cdf.shape[0]
-    pair_lut = np.zeros((rows << PRECISION, 2), np.uint32)
-    mo_lut = np.zeros((rows,), np.int32)
+    quad_lut = np.zeros((rows << PRECISION, 4), np.uint32)
     peeks = np.arange(1 << PRECISION)
     for r in range(rows):
         n = int(cdf_lengths[r])
@@ -100,82 +102,89 @@ def build_fused_luts(cdf, cdf_lengths, offsets):
         start = cdf[r, s].astype(np.uint32)
         freq = cdf[r, s + 1].astype(np.uint32) - start
         base = r << PRECISION
-        pair_lut[base:base + (1 << PRECISION), 0] = sym
-        pair_lut[base:base + (1 << PRECISION), 1] = (start << 16) | freq
-        mo_lut[r] = (max_value << 16) | (off + (1 << 15))
-    return pair_lut, mo_lut
+        quad_lut[base:base + (1 << PRECISION), 0] = sym
+        quad_lut[base:base + (1 << PRECISION), 1] = (start << 16) | freq
+        quad_lut[base:base + (1 << PRECISION), 2] = np.uint32(
+            (max_value << 16) | (off + (1 << 15)))
+    return quad_lut
 
 
-def _pair_gather(tbl2, idx):
-    """One 8-byte contiguous slice-gather: tbl2 (T, 2), idx (...,) ->
-    (..., 2). A single random cache-line touch per lane instead of two."""
+def _slice_gather(tbl, idx, width):
+    """One contiguous slice-gather: tbl (T, width) or (T,), idx (...,) ->
+    (..., width). A single random memory touch per lane (measured: a 16B
+    slice costs no more than one 4B element gather)."""
+    if tbl.ndim == 2:
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(idx.ndim,), collapsed_slice_dims=(0,),
+            start_index_map=(0,))
+        return jax.lax.gather(tbl, idx[..., None], dn, (1, width),
+                              mode=jax.lax.GatherScatterMode.CLIP)
     dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(idx.ndim,), collapsed_slice_dims=(0,),
+        offset_dims=(idx.ndim,), collapsed_slice_dims=(),
         start_index_map=(0,))
-    return jax.lax.gather(tbl2, idx[..., None], dn, (1, 2),
+    return jax.lax.gather(tbl, idx[..., None], dn, (width,),
                           mode=jax.lax.GatherScatterMode.CLIP)
 
 
-def decode_symbols_fused(hw, x, pos, indexes, active, pair_lut, mo_lut,
+def decode_symbols_fused(hw_words, x, pos, indexes, active, quad_lut,
                          cheap=None):
-    """Decode ONE symbol per lane with 3 random memory touches (vs ~9
-    gathers in decode_symbols): the interleaved (sym, start|freq) pair,
-    mo_lut, and one contiguous 4-halfword prefetch that serves the main
-    renorm refill AND up to 3 bypass-chunk refills. Bit-identical to
-    decode_symbols (tested).
+    """Decode ONE symbol per lane with 2 random memory touches (vs ~9
+    gathers in decode_symbols): one 16B quad_lut slice (symbol +
+    start|freq + bypass constants) and one 12B slice of the word-packed
+    bitstream covering the main renorm refill AND up to 3 bypass-chunk
+    refills. Bit-identical to decode_symbols (tested).
 
+    hw_words: (T/2,) uint32 — halfword pairs, little-endian
+    (pack_halfwords); pos stays halfword-granular.
     cheap: optional traced bool — when True (the encoder's pass through
     the unified program, where decoded symbols are discarded) all gather
-    indices are clamped to 0 so every lane hits one cache line; gather
-    cost is data-dependent HBM random access (measured: 2 gathers = 0.38s
-    over the flagship decode vs ~0 when uniform), so this makes the dead
-    branch nearly free WITHOUT splitting the program (bit-exactness needs
-    encode and decode to share one executable)."""
+    indices are clamped to 0. Measured neutral on v5e (touch cost is
+    per-element issue, not memory locality) but kept: it guarantees the
+    dead branch never reads out of bounds and may help other targets."""
     peek32 = x & _M16
     peek = peek32.astype(jnp.int32)
     flat_i = (indexes << PRECISION) + peek
     if cheap is not None:
         flat_i = jnp.where(cheap, 0, flat_i)
-    pair = _pair_gather(pair_lut, flat_i)                        # touch 1
-    symw = pair[..., 0]
-    sf = pair[..., 1]
+    quad = _slice_gather(quad_lut, flat_i, 4)                    # touch 1
+    symw = quad[..., 0]
+    sf = quad[..., 1]
+    mo = quad[..., 2].astype(jnp.int32)
     sym = (symw & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32) - (1 << 15)
     start = sf >> 16
     freq = sf & jnp.uint32(0xFFFF)
-    # prefetch the at-most-4 halfwords this symbol can consume   # touch 2
-    T = hw.shape[0]
-    p0 = jnp.clip(pos, 0, T - 4)
+    # prefetch the at-most-4 halfwords this symbol can consume: 3 packed
+    # words starting at the word containing pos                 # touch 2
+    TW = hw_words.shape[0]
+    base = jnp.clip(pos >> 1, 0, TW - 3)
     if cheap is not None:
-        p0 = jnp.where(cheap, 0, p0)
-    h4 = hw[p0[..., None] + jnp.arange(4)]                # (..., 4)
-    # normally pos == p0 so k starts at 0; near the buffer end the clip
-    # shifts the window and k compensates (only padding lives there)
-    k = pos - p0
+        base = jnp.where(cheap, 0, base)
+    w3 = _slice_gather(hw_words, base, 3)                 # (..., 3)
+    # halfword j (absolute index 2*base + j, j in [0, 5]); pos - 2*base
+    # is 0 or 1 normally, larger only in the clipped padding region
+    j = pos - (base << 1)
 
-    def refill(x, pos, k, need):
-        nxt = jnp.where(k == 0, h4[..., 0],
-                        jnp.where(k == 1, h4[..., 1],
-                                  jnp.where(k == 2, h4[..., 2],
-                                            h4[..., 3])))
+    def refill(x, pos, j, need):
+        w = jnp.where(j < 2, w3[..., 0],
+                      jnp.where(j < 4, w3[..., 1], w3[..., 2]))
+        nxt = jnp.where((j & 1) == 0, w & jnp.uint32(0xFFFF), w >> 16)
         x = jnp.where(need, (x << 16) | nxt, x)
         pos = jnp.where(need, pos + 1, pos)
-        k = jnp.where(need, k + 1, k)
-        return x, pos, k
+        j = jnp.where(need, j + 1, j)
+        return x, pos, j
 
     x_new = freq * (x >> PRECISION) + peek32 - start
     x = jnp.where(active, x_new, x)
-    x, pos, k = refill(x, pos, k, (x < RANS32_L) & active)
+    x, pos, j = refill(x, pos, j, (x < RANS32_L) & active)
 
     is_bypass = active & ((symw >> 31) != 0)
-    mo_idx = jnp.where(cheap, 0, indexes) if cheap is not None else indexes
-    mo = mo_lut[mo_idx]                                          # touch 3
     max_value = mo >> 16
     offset = (mo & 0xFFFF) - (1 << 15)
     z = jnp.zeros_like(peek, jnp.uint32)
     for c in range(BYPASS_CHUNKS):
         bits = x & ((1 << BYPASS_BITS) - 1)
         x = jnp.where(is_bypass, x >> BYPASS_BITS, x)
-        x, pos, k = refill(x, pos, k, (x < RANS32_L) & is_bypass)
+        x, pos, j = refill(x, pos, j, (x < RANS32_L) & is_bypass)
         z = z | jnp.where(is_bypass, bits << (c * BYPASS_BITS),
                           jnp.uint32(0))
     zi = z.astype(jnp.int32)
@@ -279,8 +288,9 @@ def decode_symbols(hw, x, pos, indexes, active, cdf, cdf_lengths, offsets,
 
 
 def build_encode_luts(cdf, cdf_lengths, offsets):
-    """Gather-count reduction for the encoder (same driver as
-    build_fused_luts):
+    """Touch-count reduction for the encoder (same driver as
+    build_fused_luts). mo must be fetched BEFORE s is known (s depends on
+    max_value), so the encoder floor is 2 touches per symbol slot:
       sf_rows (rows, W-1) uint32: (start << 16) | freq per interval s;
       mo_lut  (rows,) int32: (max_value << 16) | (offset + 2^15).
     """
@@ -492,9 +502,17 @@ def gather_payload(vals, flags, csum, x, W_hw):
     return lens, packed
 
 
+def pack_halfwords(hw):
+    """(T,) uint32 halfwords -> (ceil(T/2),) uint32 word-packed stream for
+    the fused decoder's 3-word refill slices; odd T is zero-padded."""
+    if hw.shape[0] & 1:
+        hw = jnp.concatenate([hw, jnp.zeros((1,), hw.dtype)])
+    return hw[0::2] | (hw[1::2] << 16)
+
+
 def decode_block_channels(hw, x, pos, indexes, valid, G, cdf, cdf_lengths,
                           offsets, lut=None, unroll=False, fused=None,
-                          cheap=None):
+                          cheap=None, hw_words=None):
     """Decode one wavefront step for all (batch, lane, channel group)
     streams.
 
@@ -505,8 +523,9 @@ def decode_block_channels(hw, x, pos, indexes, valid, G, cdf, cdf_lengths,
     fori_loop (measured on v5e: the fori_loop is FASTER inside the
     wavefront scan — unrolling blows up the scan body's HLO and loses
     ~70% throughput; kept as an option for other shapes).
-    fused: optional (pair_lut, mo_lut) from build_fused_luts — uses the
-    3-touch decode_symbols_fused path (fastest on v5e). cheap: traced
+    fused: optional quad_lut from build_fused_luts — uses the 2-touch
+    decode_symbols_fused path (fastest on v5e); requires hw_words
+    (pack_halfwords(hw), computed ONCE outside any scan). cheap: traced
     bool forwarded to it (see decode_symbols_fused).
     Returns (symbols (N, Dmax, M) int32, x', pos')."""
     N, Dmax, M = indexes.shape
@@ -516,12 +535,14 @@ def decode_block_channels(hw, x, pos, indexes, valid, G, cdf, cdf_lengths,
     idx_r = jnp.moveaxis(indexes.reshape(N, Dmax, K, G), 2, 0)  # (K,N,D,G)
     act = jnp.broadcast_to(valid[None, :, None], (N, Dmax, G))
     if fused is not None:
-        pair_lut, mo_lut = fused
+        quad_lut = fused
+        if hw_words is None:
+            hw_words = pack_halfwords(hw)
 
         def body_f(k, carry):
             x, pos, out = carry
             sym, x, pos = decode_symbols_fused(
-                hw, x, pos, idx_r[k], act, pair_lut, mo_lut, cheap=cheap)
+                hw_words, x, pos, idx_r[k], act, quad_lut, cheap=cheap)
             return x, pos, out.at[k].set(sym)
 
         out0 = jnp.zeros((K, N, Dmax, G), jnp.int32)

@@ -74,10 +74,9 @@ class TurboCodec:
         self._cdf = jnp.asarray(self.tables["cdf"])
         self._cdf_len = jnp.asarray(self.tables["cdf_lengths"])
         self._offsets = jnp.asarray(self.tables["offsets"])
-        pair_lut, mo_lut = device_rans.build_fused_luts(
+        self._fused = jnp.asarray(device_rans.build_fused_luts(
             self.tables["cdf"], self.tables["cdf_lengths"],
-            self.tables["offsets"])
-        self._fused = (jnp.asarray(pair_lut), jnp.asarray(mo_lut))
+            self.tables["offsets"]))
         sf_rows, mo2 = device_rans.build_encode_luts(
             self.tables["cdf"], self.tables["cdf_lengths"],
             self.tables["offsets"])
@@ -95,7 +94,8 @@ class TurboCodec:
     def _caps(self, n, Hb, Wb):
         n_sym = Hb * Wb * self.md.M
         lanes_hw = self.schedule(Hb, Wb).Dmax * self.G * 2
-        return n * (self.hw_factor * n_sym + lanes_hw)
+        cap = n * (self.hw_factor * n_sym + lanes_hw)
+        return cap + (cap & 1)  # even: the fused decoder word-packs it
 
     # ------------------------------ the scan ------------------------------
 
@@ -123,6 +123,9 @@ class TurboCodec:
         def scan(params, x, hw, lane_x0, lane_pos0, is_decode):
             zpad0 = jnp.zeros((n, Hb + 2 * P, Wb + 2 * P, md.cx),
                               jnp.float32)
+            # word-packed stream for the fused decoder's slice refills —
+            # ONCE per call, outside the scan body (capacity is even)
+            hww = device_rans.pack_halfwords(hw)
 
             def body(carry, inp):
                 zpad, lx, lp = carry
@@ -147,7 +150,7 @@ class TurboCodec:
                 sym_dec, lx, lp = device_rans.decode_block_channels(
                     hw, lx, lp, idx_b, valid & is_decode, G,
                     cdf, cdf_len, offsets, fused=fused,
-                    cheap=jnp.logical_not(is_decode))
+                    cheap=jnp.logical_not(is_decode), hw_words=hww)
                 y_sym = jnp.where(is_decode, sym_dec, y_sym_enc)
                 # shared tail: dequantize + synthesis + commit
                 y_qnt = wf._flatten_nd(y_sym).astype(jnp.float32) + means

@@ -167,7 +167,7 @@ def test_fused_decoder_matches_numpy(tables, rng):
     steps, Dmax, M, G = 6, 4, 8, 4
     N = 2
     t = tables
-    fused = tuple(jnp.asarray(a) for a in device_rans.build_fused_luts(
+    fused = jnp.asarray(device_rans.build_fused_luts(
         t["cdf"], t["cdf_lengths"], t["offsets"]))
     all_syms, all_idx = [], []
     s0, i0, valid = make_symbols(rng, steps, Dmax, M)

@@ -360,13 +360,24 @@ def encode_emissions(symbols, indexes, valid, G, cdf, cdf_lengths,
         sf_rows, mo_lut = enc_luts
         sf_flat = sf_rows.reshape(-1)
         Wsf = sf_rows.shape[1]
+        rows = mo_lut.shape[0]
+        # per-row constants as an exact one-hot MXU matmul instead of a
+        # gather: both columns < 2^24 so the f32 dot (one nonzero per
+        # row, no accumulation) is exact; removes one random memory
+        # touch per symbol slot from the sequential automaton
+        mv_off = jnp.stack(
+            [(mo_lut >> 16).astype(jnp.float32),
+             ((mo_lut & 0xFFFF) - (1 << 15)).astype(jnp.float32)],
+            axis=1)                                   # (rows, 2)
 
     def one_slot(x, sym, idx, d):
         active = jnp.broadcast_to(valid[d][None, :, None], (N, Dmax, G))
         if enc_luts is not None:
-            mo = mo_lut[idx]
-            max_value = mo >> 16
-            value = sym - ((mo & 0xFFFF) - (1 << 15))
+            onehot = (idx[..., None] ==
+                      jnp.arange(rows, dtype=idx.dtype)).astype(jnp.float32)
+            mo2 = jnp.einsum("...r,rc->...c", onehot, mv_off)
+            max_value = mo2[..., 0].astype(jnp.int32)
+            value = sym - mo2[..., 1].astype(jnp.int32)
         else:
             max_value = cdf_lengths[idx] - 2
             value = sym - offsets[idx]

@@ -1,0 +1,181 @@
+"""PyTorch checkpoint import parity.
+
+Builds a miniature PyTorch model with the reference's exact v9 semantics
+(graphs/models/BlockBasedImgCompLossy_net.py:251-317: masked convs per
+masked_conv2d.py:5-21, CompressAI-reparametrized GDN per
+gdn_compressai.py:26-80, module names prtr_forward*/prtr_inverse*/
+get_meanscale), runs its open-loop eval forward, then imports its
+state_dict through models.torch_import.state_dict_to_params and checks
+the JAX forward reproduces y / (scales, means) / xhat."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from lbic_tpu.config import LbicConfig
+from lbic_tpu.models import lbic as M
+from lbic_tpu.models.torch_import import state_dict_to_params
+
+REPARAM_OFFSET = 2.0 ** -18
+PED = REPARAM_OFFSET ** 2
+
+
+class TMaskedConv2d(nn.Conv2d):
+    """Reference masked_conv2d.py:5-21."""
+
+    def __init__(self, mask_type, *args, **kw):
+        super().__init__(*args, **kw)
+        self.register_buffer("mask", torch.ones_like(self.weight.data))
+        _, _, kh, kw_ = self.weight.shape
+        if kh == 1 and kw_ == 1:
+            if mask_type == "A":
+                self.mask[:] = 0
+        else:
+            self.mask[:, :, kh // 2, kw_ // 2 + (mask_type == "B"):] = 0
+            self.mask[:, :, kh // 2 + 1:] = 0
+
+    def forward(self, x):
+        self.weight.data *= self.mask
+        return super().forward(x)
+
+
+class TGDN(nn.Module):
+    """CompressAI GDN (gdn_compressai.py:26-80), forward-only reparam."""
+
+    def __init__(self, ch, inverse=False):
+        super().__init__()
+        self.inverse = inverse
+        self.beta = nn.Parameter(torch.sqrt(torch.ones(ch) + PED))
+        g = 0.1 * torch.eye(ch) + PED
+        self.gamma = nn.Parameter(torch.sqrt(g))
+
+    def forward(self, x):
+        ch = x.shape[1]
+        beta_min = (1e-6 + PED) ** 0.5
+        beta = torch.clamp(self.beta, min=beta_min) ** 2 - PED
+        gamma = torch.clamp(self.gamma, min=PED ** 0.5) ** 2 - PED
+        norm = F.conv2d(x * x, gamma.reshape(ch, ch, 1, 1), beta)
+        return x * torch.sqrt(norm) if self.inverse else x * torch.rsqrt(norm)
+
+
+class TNetV9(nn.Module):
+    """Reference v9 layout (net.py:251-317) at toy size."""
+
+    def __init__(self, cx, N, Mch, K1, K2):
+        super().__init__()
+        C1, C2, C3 = N, N // 8 * 7, N // 8 * 6
+        E1, E2, E3 = N // 8 * 12, N // 8 * 10, N
+        self.prtr_forward1 = nn.Conv2d(cx, C1, 1)
+        self.prtr_forward2 = TMaskedConv2d("A", cx, C1, K1,
+                                           padding=K1 // 2)
+        self.prtr_forward3 = nn.Sequential(
+            TGDN(C1), nn.Conv2d(C1, C2, 1),
+            TGDN(C2), nn.Conv2d(C2, C3, 1),
+            TGDN(C3), nn.Conv2d(C3, Mch, 1))
+        self.prtr_inverse1 = nn.Conv2d(Mch, C1, 1)
+        self.prtr_inverse2 = TMaskedConv2d("A", cx, C1, K1,
+                                           padding=K1 // 2)
+        self.prtr_inverse3 = nn.Sequential(
+            TGDN(C1, inverse=True), nn.Conv2d(C1, C2, 1),
+            TGDN(C2, inverse=True), nn.Conv2d(C2, C3, 1),
+            TGDN(C3, inverse=True), nn.Conv2d(C3, cx, 1))
+        self.get_meanscale = nn.Sequential(
+            TMaskedConv2d("A", cx, E1, K1, padding=K1 // 2),
+            nn.LeakyReLU(),
+            TMaskedConv2d("B", E1, E2, K2, padding=K2 // 2),
+            nn.LeakyReLU(),
+            nn.Conv2d(E2, E3, 1), nn.LeakyReLU(),
+            nn.Conv2d(E3, 2 * Mch, 1))
+
+    def forward(self, zhat, x):
+        y = self.prtr_forward3(self.prtr_forward1(x)
+                               + self.prtr_forward2(zhat))
+        ms = self.get_meanscale(zhat)
+        scales, means = ms.chunk(2, 1)
+        y_qnt = torch.round(y - means) + means
+        xhat = self.prtr_inverse3(self.prtr_inverse1(y_qnt)
+                                  + self.prtr_inverse2(zhat))
+        return y, scales, means, y_qnt, xhat
+
+
+def test_torch_v9_import_forward_parity():
+    torch.manual_seed(0)
+    B, N, Mch, K1, K2 = 4, 16, 8, 3, 1
+    cx = 3 * B * B
+    tnet = TNetV9(cx, N, Mch, K1, K2).eval()
+    # perturb params away from init so the test is not trivially symmetric
+    with torch.no_grad():
+        for p in tnet.parameters():
+            p.add_(0.01 * torch.randn_like(p))
+
+    n, Hb, Wb = 2, 5, 6
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-0.5, 0.5, (n, cx, Hb, Wb)).astype(np.float32)
+    zh = rng.uniform(-0.5, 0.5, (n, cx, Hb, Wb)).astype(np.float32)
+    with torch.no_grad():
+        ty, tsc, tmu, tyq, txh = tnet(torch.from_numpy(zh),
+                                      torch.from_numpy(x))
+
+    cfg = LbicConfig(net_version="v9", block_size=B, KS=(K1, K2, 1, 1),
+                     N=N, M=Mch)
+    md = M.make_model_def(cfg)
+    params = jax.tree.map(jnp.asarray,
+                          state_dict_to_params(tnet.state_dict(), md))
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    zj = jnp.asarray(zh.transpose(0, 2, 3, 1))
+
+    yj = M.analysis_full(md, params, zj, xj)
+    scj, muj = M.meanscale_full(md, params, zj)
+    np.testing.assert_allclose(np.asarray(yj),
+                               ty.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(scj),
+                               tsc.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(muj),
+                               tmu.numpy().transpose(0, 2, 3, 1),
+                               atol=2e-5, rtol=1e-4)
+
+    xhj, _ = M.forward_open_loop(md, params, zj, xj, training=False)
+    # quantization rounds y - mu: tiny y/mu differences can flip a round
+    # at exact .5 boundaries; none occur for this seed (checked), so the
+    # reconstruction must match to float tolerance
+    np.testing.assert_allclose(np.asarray(xhj),
+                               txh.numpy().transpose(0, 2, 3, 1),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_torch_checkpoint_file_roundtrip(tmp_path):
+    """load_torch_checkpoint reads both full training checkpoints
+    ('state_dict0', base.py:131-152) and weights-only files."""
+    from lbic_tpu.models.torch_import import load_torch_checkpoint
+
+    torch.manual_seed(1)
+    B, N, Mch = 4, 16, 8
+    cx = 3 * B * B
+    tnet = TNetV9(cx, N, Mch, 3, 1)
+    cfg = LbicConfig(net_version="v9", block_size=B, KS=(3, 1, 1, 1),
+                     N=N, M=Mch)
+    md = M.make_model_def(cfg)
+
+    full = tmp_path / "checkpoint.pth.tar"
+    torch.save({"state_dict0": tnet.state_dict(), "epoch": 3,
+                "optimizer": {}}, full)
+    p1, ck1 = load_torch_checkpoint(str(full), md)
+    assert ck1["epoch"] == 3
+    w_only = tmp_path / "model_best.pth.tar"
+    torch.save({"state_dict0": tnet.state_dict()}, w_only)
+    p2, _ = load_torch_checkpoint(str(w_only), md)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # shape-compatible with the native init
+    ref = M.init_params(md, jax.random.PRNGKey(0))
+    ta = jax.tree.structure(ref)
+    tb = jax.tree.structure(jax.tree.map(jnp.asarray, p1))
+    assert ta == tb

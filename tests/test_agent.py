@@ -111,3 +111,27 @@ def test_eval_model_turbo_engine(tiny_exp):
     r = out["results"]
     assert len(r["psnr"]) == 2
     assert all(b > 0 for b in r["bpp"])
+
+
+def test_postproc_pipeline(tiny_exp):
+    """gen_train_set_postproc writes closed-loop recon images into
+    <root>__recurecos_<lambda> (agent:686-736), then train_postproc_mdl
+    trains BlkBasedPostProcessing on the (x, recon) pairs until <0.1%
+    improvement (agent:308-347)."""
+    cfg, train_dir, _ = tiny_exp
+    cfg.mode = "gen_train_set_postproc"
+    agent = BlockBasedImgCompLossyAgent(cfg)
+    agent.run()
+    out = str(train_dir).rstrip("/") + f"__recurecos_{cfg.lambda_}"
+    assert os.path.isdir(out)
+    assert len(os.listdir(out)) == 6
+    cfg.mode = "train_postproc_mdl"
+    agent2 = BlockBasedImgCompLossyAgent(cfg)
+    agent2.run()
+    assert agent2.pp_params is not None
+    # checkpoint now carries the postproc params
+    import pickle
+    with open(os.path.join(cfg.checkpoint_dir, "checkpoint.pkl"),
+              "rb") as f:
+        payload = pickle.load(f)
+    assert payload["pp_params"] is not None

@@ -135,3 +135,44 @@ def test_postproc_pipeline(tiny_exp):
               "rb") as f:
         payload = pickle.load(f)
     assert payload["pp_params"] is not None
+
+
+def test_main_multi_agent_sweep(tiny_exp, tmp_path, monkeypatch):
+    """main.py multi-agent sweep: one agent per lambda_ value under
+    experiments/<multi_exp_name>/exp_<v> (reference main.py:17-24)."""
+    import json
+
+    import main as main_mod
+
+    cfg, train_dir, valid_dir = tiny_exp
+    cj = {
+        "agent": "BlockBasedImgCompLossyAgent", "mode": "validate",
+        "net_version": "v9", "block_size": 4, "KS": [3, 1, 1, 1],
+        "N": 16, "M": 8, "lambda_": [50.0, 100.0], "batch_size": 2,
+        "patch_size": 16, "learning_rate": 1e-3, "max_epoch": 1,
+        "acl_bool": False, "num_train_dirs": 1,
+        "train_data_1": str(train_dir), "valid_data": str(valid_dir),
+        "test_data": str(valid_dir), "seed": 7,
+        "multi_agent": True, "multi_param": "lambda_",
+        "multi_exp_name": "sweeptest",
+    }
+    cfg_path = tmp_path / "sweep.json"
+    cfg_path.write_text(json.dumps(cj))
+    monkeypatch.chdir(tmp_path)
+    main_mod.main([str(cfg_path)])
+    for v in (50.0, 100.0):
+        d = tmp_path / "experiments" / "sweeptest" / f"exp_{v}"
+        assert d.is_dir(), d
+
+
+def test_debug_mode_runs_with_nan_trap(tiny_exp):
+    """debug mode = train_one_acl under jax_debug_nans (the reference's
+    detect_anomaly analog, base.py:187-189), restored afterwards."""
+    import jax
+
+    cfg, _, _ = tiny_exp
+    cfg.mode = "debug"
+    cfg.max_epoch = 1
+    agent = BlockBasedImgCompLossyAgent(cfg)
+    agent.run()
+    assert jax.config.jax_debug_nans is False

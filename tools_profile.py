@@ -1,6 +1,8 @@
 """Decompose codec wall time: device scan vs host transfers vs host rANS.
 
 Run on the real TPU:  python tools_profile.py [batch]
+With LBIC_TRACE=<logdir>, additionally dumps a jax.profiler XPlane trace
+of one compress+decompress round (view in TensorBoard / Perfetto).
 """
 
 import os
@@ -99,6 +101,19 @@ def main():
     print(f"compress total              : {tc*1e3:8.1f} ms")
     print(f"decompress total            : {td*1e3:8.1f} ms")
     print(f"H2D stream bytes            : {sum(len(s) for s in streams)/1e6:.2f} MB")
+
+    # 5. optional profiler trace of one round (LBIC_TRACE=<logdir>)
+    tracedir = os.environ.get("LBIC_TRACE")
+    if tracedir:
+        from lbic_tpu.utils.profiling import annotate, trace
+
+        with trace(tracedir):
+            with annotate("compress"):
+                streams, zh = codec.compress(x)
+                jax.block_until_ready(zh)
+            with annotate("decompress"):
+                jax.block_until_ready(codec.decompress(streams, hb, wb))
+        print(f"profiler trace written to {tracedir}")
 
 
 if __name__ == "__main__":

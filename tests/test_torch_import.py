@@ -179,3 +179,33 @@ def test_torch_checkpoint_file_roundtrip(tmp_path):
     ta = jax.tree.structure(ref)
     tb = jax.tree.structure(jax.tree.map(jnp.asarray, p1))
     assert ta == tb
+
+
+def test_import_torch_cli(tmp_path):
+    """tools/import_torch CLI: .pth.tar -> native .pkl the agent loads."""
+    import json
+
+    from lbic_tpu.tools import import_torch as cli
+    from lbic_tpu.train import checkpoint as ckpt
+
+    torch.manual_seed(2)
+    B, N, Mch = 4, 16, 8
+    tnet = TNetV9(3 * B * B, N, Mch, 3, 1)
+    pth = tmp_path / "model_best_acl_2rr.pth.tar"
+    torch.save({"state_dict0": tnet.state_dict(), "epoch": 7}, pth)
+    cj = {"net_version": "v9", "block_size": B, "KS": [3, 1, 1, 1],
+          "N": N, "M": Mch, "lambda_": 100.0}
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cj))
+    out = tmp_path / "native.pkl"
+    cli.main([str(cfg_path), str(pth), str(out)])
+    cfg = LbicConfig(net_version="v9", block_size=B, KS=(3, 1, 1, 1),
+                     N=N, M=Mch)
+    md = M.make_model_def(cfg)
+    payload = ckpt.load_any(str(out), md)
+    assert bool(payload["torch_checkpoint"])
+    assert int(payload["epoch"]) == 7
+    ref = M.init_params(md, jax.random.PRNGKey(0))
+    assert (jax.tree.structure(ref) ==
+            jax.tree.structure(jax.tree.map(jnp.asarray,
+                                            payload["params"])))

@@ -253,16 +253,17 @@ class BlockBasedImgCompLossyAgent:
             if mode in ("train_all_acl",):
                 self.train_all_acl()
             elif mode in ("train_one_acl", "debug"):
+                # the reference wraps training in
+                # torch.autograd.detect_anomaly (base.py:187-189);
+                # the JAX analog traps NaNs at every jitted op
+                prev_nans = jax.config.jax_debug_nans
                 if mode == "debug":
-                    # the reference wraps training in
-                    # torch.autograd.detect_anomaly (base.py:187-189);
-                    # the JAX analog traps NaNs at every jitted op
                     jax.config.update("jax_debug_nans", True)
                 try:
                     self.train_one_acl()
                 finally:
                     if mode == "debug":
-                        jax.config.update("jax_debug_nans", False)
+                        jax.config.update("jax_debug_nans", prev_nans)
             elif mode in ("validate", "test"):
                 train, valid = self._loaders()
                 self.log.info("validate loss: %.6f", self.validate(valid))

@@ -375,7 +375,11 @@ def encode_emissions(symbols, indexes, valid, G, cdf, cdf_lengths,
         if enc_luts is not None:
             onehot = (idx[..., None] ==
                       jnp.arange(rows, dtype=idx.dtype)).astype(jnp.float32)
-            mo2 = jnp.einsum("...r,rc->...c", onehot, mv_off)
+            # HIGHEST precision: default TPU matmul truncates operands to
+            # bf16, which rounds integer values > 256 (max_value reaches
+            # ~3131) and would silently corrupt the bitstream
+            mo2 = jnp.einsum("...r,rc->...c", onehot, mv_off,
+                             precision=jax.lax.Precision.HIGHEST)
             max_value = mo2[..., 0].astype(jnp.int32)
             value = sym - mo2[..., 1].astype(jnp.int32)
         else:

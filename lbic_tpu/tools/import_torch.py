@@ -11,6 +11,8 @@ are rebuilt natively at codec construction)."""
 
 import argparse
 
+import jax
+
 from lbic_tpu.config import load_config
 from lbic_tpu.models import lbic as M
 from lbic_tpu.models.torch_import import load_torch_checkpoint
@@ -30,7 +32,7 @@ def main(argv=None):
     params, full = load_torch_checkpoint(args.torch_ckpt, md)
     ckpt.save(args.output, {"params": params, "torch_checkpoint": True,
                             "epoch": full.get("epoch", 0)})
-    n = sum(a.size for a in __import__("jax").tree.leaves(params))
+    n = sum(a.size for a in jax.tree.leaves(params))
     print(f"wrote {args.output}: {n/1e6:.2f}M params")
 
 

@@ -21,13 +21,7 @@ from collections import defaultdict
 import jax
 
 
-@contextlib.contextmanager
-def trace(logdir: str):
-    jax.profiler.start_trace(logdir)
-    try:
-        yield
-    finally:
-        jax.profiler.stop_trace()
+trace = jax.profiler.trace  # the library context manager is exactly this
 
 
 def annotate(name: str):
@@ -37,24 +31,33 @@ def annotate(name: str):
 class StageTimers:
     """Accumulate wall time per named stage.
 
+    JAX dispatch is asynchronous, so a stage's device time is only
+    captured if something blocks before the context exits. Assign the
+    stage's outputs to the yielded holder and they are blocked on in
+    the exit path:
+
         timers = StageTimers()
-        with timers("scan"):
-            out = fn(...)            # block happens on context exit
+        with timers("scan") as h:
+            h.out = fn(...)          # blocked on at context exit
         print(timers.report())
     """
+
+    class _Holder:
+        out = None
 
     def __init__(self):
         self.totals = defaultdict(float)
         self.counts = defaultdict(int)
 
     @contextlib.contextmanager
-    def __call__(self, name: str, block_on=None):
+    def __call__(self, name: str):
+        holder = self._Holder()
         t0 = time.perf_counter()
         try:
-            yield
+            yield holder
         finally:
-            if block_on is not None:
-                jax.block_until_ready(block_on)
+            if holder.out is not None:
+                jax.block_until_ready(holder.out)
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 

@@ -11,10 +11,10 @@ from lbic_tpu.utils.profiling import StageTimers, annotate, trace
 
 def test_stage_timers_accumulate():
     t = StageTimers()
-    with t("a"):
-        x = jnp.arange(8) * 2
-    with t("a", block_on=x):
-        _ = jnp.sum(x)
+    with t("a") as h:
+        h.out = jnp.arange(8) * 2
+    with t("a") as h:
+        h.out = jnp.sum(jnp.arange(8))
     with t("b"):
         pass
     assert t.counts["a"] == 2 and t.counts["b"] == 1

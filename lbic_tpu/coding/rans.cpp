@@ -323,17 +323,21 @@ int64_t lbic_rans32_encode_interleaved(
     for (size_t k = e.out.size(); k-- > 0;) s.push_back(e.out[k]);
   }
   int64_t payload_hw = 0;
-  for (const auto& s : streams) payload_hw += static_cast<int64_t>(s.size());
-  int64_t total = 4 + 4 * n_lanes + 2 * payload_hw;
+  for (const auto& s : streams) {
+    if (s.size() > 0xFFFF) return -3;  // uint16 header limit: raise G
+    payload_hw += static_cast<int64_t>(s.size());
+  }
+  if (n_lanes > 0xFFFF) return -3;
+  int64_t total = 2 + 2 * n_lanes + 2 * payload_hw;
   if (total > out_capacity) return -1;
   uint8_t* q = out;
-  uint32_t nl32 = static_cast<uint32_t>(n_lanes);
-  std::memcpy(q, &nl32, 4);
-  q += 4;
+  uint16_t nl16 = static_cast<uint16_t>(n_lanes);
+  std::memcpy(q, &nl16, 2);
+  q += 2;
   for (const auto& s : streams) {
-    uint32_t len = static_cast<uint32_t>(s.size());
-    std::memcpy(q, &len, 4);
-    q += 4;
+    uint16_t len = static_cast<uint16_t>(s.size());
+    std::memcpy(q, &len, 2);
+    q += 2;
   }
   for (const auto& s : streams) {
     std::memcpy(q, s.data(), s.size() * 2);

@@ -19,11 +19,16 @@ the TPU* inside the wavefront scan (engine/device_rans.py):
     int32 symbol is codable (entropy_layers_cai.py / rans_py.py parity).
 
 Layout of a coded image (all little-endian):
-  uint32 n_lanes
-  uint32 hw_len[n_lanes]   -- halfword count of each lane's stream
+  uint16 n_lanes
+  uint16 hw_len[n_lanes]   -- halfword count of each lane's stream
+                              (a lane longer than 65535 halfwords is a
+                              format error; raise G instead)
   payload: per lane, hw_len[i] uint16 halfwords; the first two are the
   initial 32-bit decoder state (low halfword first), the rest are renorm
   halfwords in DECODE order.
+The per-lane overhead is therefore 2 B length + 4 B flushed state; lane
+count (Dmax*G per image) is the knob trading decode parallelism against
+this overhead (engine/turbo.py docstring has measured numbers).
 
 This module is the numpy reference implementation (used by tests and as
 the host fallback); the C++ twin lives in rans.cpp and the TPU decoder in
@@ -113,9 +118,14 @@ def encode_interleaved(symbols, indexes, valid, M, G,
         for s, ix in zip(lanes, lane_idx)
     ]
     n = len(streams)
-    head = np.empty(1 + n, dtype=np.uint32)
+    lens = [len(s) for s in streams]
+    if lens and max(lens) > 0xFFFF:
+        raise ValueError(
+            f"lane stream {max(lens)} halfwords exceeds the uint16 header "
+            f"limit — raise G (more, shorter lanes)")
+    head = np.empty(1 + n, dtype=np.uint16)
     head[0] = n
-    head[1:] = [len(s) for s in streams]
+    head[1:] = lens
     payload = np.concatenate(
         [np.asarray(s, dtype=np.uint16) for s in streams]
         or [np.zeros(0, np.uint16)])
@@ -125,13 +135,13 @@ def encode_interleaved(symbols, indexes, valid, M, G,
 def parse_header(stream: bytes):
     """-> (hw array int32 (concatenated halfwords), lane start offsets
     int32 (n_lanes,))."""
-    if len(stream) < 4:
+    if len(stream) < 2:
         raise ValueError("rans32 stream truncated (no header)")
-    n = int(np.frombuffer(stream[:4], np.uint32)[0])
-    if len(stream) < 4 + 4 * n:
+    n = int(np.frombuffer(stream[:2], np.uint16)[0])
+    if len(stream) < 2 + 2 * n:
         raise ValueError("rans32 stream truncated (header)")
-    lens = np.frombuffer(stream[4:4 + 4 * n], np.uint32).astype(np.int64)
-    payload = np.frombuffer(stream[4 + 4 * n:], np.uint16)
+    lens = np.frombuffer(stream[2:2 + 2 * n], np.uint16).astype(np.int64)
+    payload = np.frombuffer(stream[2 + 2 * n:], np.uint16)
     if payload.size != lens.sum():
         raise ValueError(
             f"corrupt rans32 stream: payload {payload.size} halfwords, "

@@ -271,7 +271,11 @@ class TurboCodec:
             _, packed = phase_b(vals, flags, csum, xst, W_hw)
             part = np.asarray(packed)   # W_hw/2 uint32 per image
             LZ = sched.Dmax * G
-            head0 = np.empty(1 + LZ, np.uint32)
+            if lens.max() > 0xFFFF or LZ > 0xFFFF:
+                raise ValueError(
+                    f"lane stream {int(lens.max())} halfwords exceeds the "
+                    f"uint16 header limit — raise G (now {G})")
+            head0 = np.empty(1 + LZ, np.uint16)
             head0[0] = LZ
             streams = []
             hw16 = np.zeros(2 * part.shape[1], np.uint16)

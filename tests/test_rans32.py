@@ -154,7 +154,7 @@ def test_device_encoder_matches_numpy(tables, rng):
         hw = np.zeros(2 * packed.shape[1], np.uint16)
         hw[0::2] = packed[i] & 0xFFFF
         hw[1::2] = packed[i] >> 16
-        head = np.empty(1 + LZ, np.uint32)
+        head = np.empty(1 + LZ, np.uint16)
         head[0] = LZ
         head[1:] = lens[i]
         assert head.tobytes() + hw[:total].tobytes() == ref[i], f"img {i}"

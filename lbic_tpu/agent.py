@@ -86,7 +86,8 @@ class BlockBasedImgCompLossyAgent:
 
         self._train_step = None
         self._train_step_chained = None
-        self._eval_step = make_eval_step(self.md, self.lambda_)
+        self._eval_step = make_eval_step(self.md, self.lambda_,
+                                         cfg.distortion)
         self._cl_scan = {}
         self._codec = None
         # optional block-based post-processing net (agent:33-46)
@@ -268,9 +269,14 @@ class BlockBasedImgCompLossyAgent:
                 train, valid = self._loaders()
                 self.log.info("validate loss: %.6f", self.validate(valid))
             elif mode in ("validate_recu_reco", "validate_recu_reco_fast"):
+                # mode parity: validate_recu_reco commits through an 8-bit
+                # round trip (agent:443-445); the _fast variant commits
+                # clamped floats and saves recon PNGs (agent:523-525,543-545)
+                fast = mode == "validate_recu_reco_fast"
                 train, valid = self._loaders()
                 self.log.info("validate_recu_reco loss: %.6f",
-                              self.validate_recu_reco(valid))
+                              self.validate_recu_reco(
+                                  valid, save_imgs=fast, quant8=not fast))
             elif mode == "gen_train_set":
                 train, valid = self._loaders()
                 self.generate_training_set_next_acl_itr(train)
@@ -329,6 +335,10 @@ class BlockBasedImgCompLossyAgent:
         return avg[0]
 
     def validate(self, valid_loader):
+        """Open-loop validation (agent:349-401). The scalar tracked —
+        and fed to the plateau scheduler + ACL convergence counters — is
+        the reference's valid_loss = TrainRDLoss(x, clamp(xhat), info)
+        = rate + lambda*D (blkbsdimgcomp_agent.py:70,393-397)."""
         sums = np.zeros(3)
         n = 0
         for x, z in valid_loader:
@@ -338,33 +348,41 @@ class BlockBasedImgCompLossyAgent:
             sums += (float(r["loss"]), float(r["psnr"]), float(r["rate"]))
             n += 1
         loss, psnr, rate = sums / max(n, 1)
-        # reference's valid "loss" to minimize: -psnr + lambda*rate is NOT
-        # what it does; it tracks rd loss = mse-form. Use rate + lambda*mse
-        # equivalent: derive mse from psnr per batch is lossy; track
-        # lambda*10^(-psnr/10) + rate which is monotone in the same optimum.
-        score = rate + self.lambda_ * (10.0 ** (-psnr / 10.0))
-        self.log.info("[valid] epoch %d: psnr=%.4f bpp=%.5f score=%.6f",
-                      self.current_epoch, psnr, rate, score)
-        return score
+        self.log.info("[valid] epoch %d: rd=%.6f psnr=%.4f bpp=%.5f",
+                      self.current_epoch, loss, psnr, rate)
+        return loss
 
-    def _cl_scan_fn(self, shape, per_block=False):
-        key = shape + (per_block,)
+    def _cl_scan_fn(self, shape, per_block=False, quant8=False):
+        key = shape + (per_block, quant8)
         if key not in self._cl_scan:
             sched = wf.make_schedule(shape[1], shape[2],
                                      wf.min_slope(self.md))
 
             def f(params, x):
                 return wf.closed_loop_scan(self.md, params, x, sched,
+                                           quant8=quant8,
                                            per_block=per_block)
 
             self._cl_scan[key] = jax.jit(f)
         return self._cl_scan[key]
 
-    def validate_recu_reco(self, valid_loader):
+    def validate_recu_reco(self, valid_loader, save_imgs=False,
+                           quant8=True):
         """Closed-loop validation via the on-device wavefront scan
         (replaces the reference's 256 sequential tile-batched model calls,
-        agent:403-479). With cfg.save_blkbsd_rdcosts, dumps per-block RD
-        cost maps bits + lambda*mse to out_dir (agent:406-408, 460-475)."""
+        agent:403-479). The tracked scalar is the reference's
+        valid_loss = TrainRDLoss on the committed reconstruction:
+        rate + lambda*mse (blkbsdimgcomp_agent.py:453,529).
+
+        quant8=True matches the reference's in-training variant, which
+        commits blocks through an 8-bit round trip (agent:443-445); the
+        mode-only `validate_recu_reco_fast` commits clamped floats and
+        saves recon PNGs (agent:523-525,543-545) — driven here via
+        save_imgs/quant8 from the mode dispatcher. With
+        cfg.save_blkbsd_rdcosts, dumps per-block RD cost maps
+        bits + lambda*mse to out_dir (agent:406-408, 460-475)."""
+        if self.cfg.recu_reco_quant8 is not None:
+            quant8 = bool(self.cfg.recu_reco_quant8)
         dump = bool(self.cfg.save_blkbsd_rdcosts and self.cfg.out_dir)
         rdcost_maps, orig_imgs = [], []
         sums = np.zeros(3)
@@ -372,7 +390,7 @@ class BlockBasedImgCompLossyAgent:
         for x, z in valid_loader:
             xp, _ = pad_to_block_multiple(jnp.asarray(x), self.B)
             xb = block_fold(xp, self.B)
-            f = self._cl_scan_fn(xb.shape, per_block=dump)
+            f = self._cl_scan_fn(xb.shape, per_block=dump, quant8=quant8)
             if dump:
                 zhat, bits, bmap = f(self.state.params, xb)
                 mse_blk = jnp.sum(jnp.square(xb - zhat), axis=-1)
@@ -383,13 +401,17 @@ class BlockBasedImgCompLossyAgent:
                 zhat, bits = f(self.state.params, xb)
             num_px = x.shape[0] * xp.shape[1] * xp.shape[2]
             bpp = float(bits) / num_px
+            mse = float(jnp.mean(jnp.square(xb - zhat)))
             p = float(metrics.psnr(xb, zhat))
-            score = bpp + self.lambda_ * (10.0 ** (-p / 10.0))
+            score = bpp + self.lambda_ * mse
             sums += (score, p, bpp)
             n += 1
+            if save_imgs:
+                self._save_valid_reco_img(valid_loader.ds, n - 1, zhat,
+                                          x.shape[1], x.shape[2])
         loss, psnr, rate = sums / max(n, 1)
-        self.log.info("[validrr] epoch %d: psnr=%.4f bpp=%.5f score=%.6f",
-                      self.current_epoch, psnr, rate, loss)
+        self.log.info("[validrr] epoch %d: rd=%.6f psnr=%.4f bpp=%.5f",
+                      self.current_epoch, loss, psnr, rate)
         if dump and rdcost_maps:
             # npz counterpart of the reference's torch.save dumps
             # (list_rdcost_tensors_per_blk_B{B}_{lambda}.pt, agent:470-475)
@@ -402,6 +424,19 @@ class BlockBasedImgCompLossyAgent:
                 f"orig_images_B{self.B}_{self.lambda_}.npz"), *orig_imgs)
             self.log.info("saved per-block RD cost maps to %s", path)
         return loss
+
+    def _save_valid_reco_img(self, ds, i, zhat, h, w):
+        """Save the closed-loop reconstruction of validation image i,
+        like dataset.save_valid_reco_img (image_dl_ACL.py:189-205): into
+        <exp_dir>/<valid-dir-name>/<original filename>."""
+        src = ds.files[i]
+        out = os.path.join(
+            self.cfg.exp_dir or ".",
+            os.path.basename(os.path.dirname(src)) or "valid_recos")
+        os.makedirs(out, exist_ok=True)
+        img = np.asarray(block_unfold(jnp.clip(zhat, -0.5, 0.5),
+                                      self.B))[0, :h, :w]
+        save_image(os.path.join(out, os.path.basename(src)), img)
 
     def train_one_acl(self):
         """One ACL iteration's DL training (agents/base.py:209-233)."""

@@ -50,6 +50,10 @@ class LbicConfig:
     # per-block RD-cost dump during closed-loop validation (the reference's
     # save_blkbsd_rdcosts_to_disk switch, agents/blkbsdimgcomp_agent.py:406)
     save_blkbsd_rdcosts: bool = False
+    # override the 8-bit round-trip commit in closed-loop validation
+    # (agent:443-445); None = follow the mode (quantize in-training and in
+    # validate_recu_reco mode, clamp-only in validate_recu_reco_fast)
+    recu_reco_quant8: Optional[bool] = None
     chained_training: bool = False
     resume_training: bool = False
     checkpoint_file: str = "checkpoint"

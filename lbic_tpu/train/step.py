@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import optax
 
 from lbic_tpu.models import lbic as M
+from lbic_tpu.ops import metrics
 from lbic_tpu.train import losses as L
 
 MIN_LR = 4e-5
@@ -156,15 +157,22 @@ def make_train_step(md: M.ModelDef, lambda_: float, distortion: str = "mse",
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(md: M.ModelDef, lambda_: float):
+def make_eval_step(md: M.ModelDef, lambda_: float, distortion: str = "mse"):
     """Open-loop validation step (agent:349-401): dequantize-mode forward,
-    xhat clamped, returns (valid loss, psnr, rate)."""
+    xhat clamped. The scalar the reference minimizes during validation is
+    the TRAIN RD loss on the clamped reconstruction —
+    `self.valid_loss = TrainRDLoss(...)` (blkbsdimgcomp_agent.py:70) applied
+    at agent:393 — i.e. rate + lambda*D, NOT a PSNR-based score. That value
+    feeds the plateau scheduler (agent:397) and the ACL convergence
+    counters. PSNR is returned for logging only."""
 
     def step(params, x, zhat):
         xhat, info = M.forward_open_loop(md, params, zhat, x,
                                          training=False)
         xhat = jnp.clip(xhat, -0.5, 0.5)
-        loss, p, rate = L.valid_rd_loss(x, xhat, info, lambda_)
-        return {"loss": loss, "psnr": p, "rate": rate}
+        loss, d, rate = L.train_rd_loss(x, xhat, info, lambda_,
+                                        distortion, md.B)
+        p = metrics.psnr(x, xhat, data_range=1.0)
+        return {"loss": loss, "distortion": d, "psnr": p, "rate": rate}
 
     return jax.jit(step)

@@ -165,6 +165,93 @@ def test_main_multi_agent_sweep(tiny_exp, tmp_path, monkeypatch):
         assert d.is_dir(), d
 
 
+def test_validate_tracks_reference_rd_loss(tiny_exp):
+    """The validate scalar must be the reference's valid_loss =
+    TrainRDLoss(x, clamp(xhat), info) = rate + lambda*D
+    (blkbsdimgcomp_agent.py:70,393-397) — NOT any PSNR-derived score."""
+    import jax.numpy as jnp
+
+    from lbic_tpu.models import lbic as M
+    from lbic_tpu.ops.blockfold import block_fold
+    from lbic_tpu.train import losses as L
+
+    cfg, _, valid_dir = tiny_exp
+    agent = BlockBasedImgCompLossyAgent(cfg)
+    _, valid = agent._loaders(mode="train")
+    got = agent.validate(valid)
+    # recompute by definition
+    total = 0.0
+    n = 0
+    for x, z in valid:
+        xb = block_fold(jnp.asarray(x), cfg.block_size)
+        zb = block_fold(jnp.asarray(z), cfg.block_size)
+        xhat, info = M.forward_open_loop(agent.md, agent.state.params,
+                                         zb, xb, training=False)
+        xhat = jnp.clip(xhat, -0.5, 0.5)
+        loss, _, _ = L.train_rd_loss(xb, xhat, info, cfg.lambda_,
+                                     cfg.distortion, cfg.block_size)
+        total += float(loss)
+        n += 1
+    assert got == pytest.approx(total / n, rel=1e-5)
+
+
+def test_validate_recu_reco_tracks_rd_and_saves_recos(tiny_exp):
+    """Closed-loop validation scalar = bpp + lambda*mse on the committed
+    reconstruction (agent:453,529); validate_recu_reco_fast mode saves
+    recon PNGs under <exp_dir>/<valid-dir-name> (agent:543-545,
+    image_dl_ACL.py:189-205)."""
+    cfg, _, valid_dir = tiny_exp
+    cfg.mode = "validate_recu_reco_fast"
+    agent = BlockBasedImgCompLossyAgent(cfg)
+    agent.run()
+    out = os.path.join(cfg.exp_dir, os.path.basename(str(valid_dir)))
+    assert os.path.isdir(out)
+    assert len(os.listdir(out)) == 2
+    # scalar matches the definition (clamp-commit path, quant8=False)
+    _, valid = agent._loaders(mode="train")
+    import jax.numpy as jnp
+
+    from lbic_tpu.ops.blockfold import block_fold, pad_to_block_multiple
+
+    got = agent.validate_recu_reco(valid, save_imgs=False, quant8=False)
+    total = 0.0
+    n = 0
+    for x, z in valid:
+        xp, _ = pad_to_block_multiple(jnp.asarray(x), cfg.block_size)
+        xb = block_fold(xp, cfg.block_size)
+        f = agent._cl_scan_fn(xb.shape, quant8=False)
+        zhat, bits = f(agent.state.params, xb)
+        bpp = float(bits) / (x.shape[0] * xp.shape[1] * xp.shape[2])
+        mse = float(jnp.mean(jnp.square(xb - zhat)))
+        total += bpp + cfg.lambda_ * mse
+        n += 1
+    assert got == pytest.approx(total / n, rel=1e-5)
+
+
+def test_validate_recu_reco_quant8_changes_commit(tiny_exp):
+    """quant8 (the reference's 8-bit round-trip commit, agent:443-445) is
+    driven from config/mode and changes the committed reconstruction."""
+    import jax.numpy as jnp
+
+    from lbic_tpu.ops.blockfold import block_fold, pad_to_block_multiple
+
+    cfg, _, _ = tiny_exp
+    agent = BlockBasedImgCompLossyAgent(cfg)
+    _, valid = agent._loaders(mode="train")
+    x, _ = next(iter(valid))
+    xp, _ = pad_to_block_multiple(jnp.asarray(x), cfg.block_size)
+    xb = block_fold(xp, cfg.block_size)
+    z8, _ = agent._cl_scan_fn(xb.shape, quant8=True)(agent.state.params,
+                                                     xb)
+    zf, _ = agent._cl_scan_fn(xb.shape, quant8=False)(agent.state.params,
+                                                      xb)
+    v = np.asarray(z8)
+    # every committed value is on the 8-bit grid
+    np.testing.assert_allclose(
+        np.round((v + 0.5) * 255) / 255 - 0.5, v, atol=1e-6)
+    assert not np.allclose(v, np.asarray(zf))
+
+
 def test_debug_mode_runs_with_nan_trap(tiny_exp):
     """debug mode = train_one_acl under jax_debug_nans (the reference's
     detect_anomaly analog, base.py:187-189), restored afterwards."""

@@ -456,6 +456,7 @@ class BlockBasedImgCompLossyAgent:
         threshold = self._patience_threshold()
         valid_loss = float("inf")
         change_mode = False
+        epochs_this_itr = 0
         if self.convergence_mode == "ol_loss":
             self.best_valid_loss = float("inf")
         self.log.info(
@@ -465,6 +466,11 @@ class BlockBasedImgCompLossyAgent:
             if self.current_epoch >= cfg.max_epoch:
                 self.log.info("max_epoch reached")
                 break
+            if cfg.max_epochs_per_acl and \
+                    epochs_this_itr >= cfg.max_epochs_per_acl:
+                self.log.info("max_epochs_per_acl reached")
+                break
+            epochs_this_itr += 1
             self.train_one_epoch(train)
             if not (self.current_epoch + 1) % cfg.validate_every:
                 valid_loss = self.validate(valid)
@@ -553,6 +559,12 @@ class BlockBasedImgCompLossyAgent:
             self.plateau = ReduceLROnPlateau(min_lr=min_lr)
             if not cfg.acl_bool:
                 self.log.info("acl_bool False — single iteration only")
+                break
+            if cfg.max_acl_itr and self.acl_itr >= cfg.max_acl_itr:
+                self.log.info("max_acl_itr %d reached", cfg.max_acl_itr)
+                break
+            if self.current_epoch >= cfg.max_epoch:
+                self.log.info("max_epoch reached — ending ACL loop")
                 break
 
     # --------------------------- set generation ---------------------------

@@ -73,6 +73,11 @@ class LbicConfig:
     # ACL
     acl_bool: bool = True
     acl_itr: int = 0
+    # bounded-compute extensions (no reference equivalent — the reference's
+    # ACL outer loop runs until the user kills it, agent:109): stop after
+    # this many ACL iterations / epochs within one iteration (0 = unbounded)
+    max_acl_itr: int = 0
+    max_epochs_per_acl: int = 0
     acl_lr_alpha: float = 1.0
     cnt_no_improvement_valid_thresholds: Tuple[int, ...] = (8, 8, 7, 6, 5, 5)
     convergence_decsn_mode: str = "ol_loss"  # ol_loss | cl_loss

@@ -1,0 +1,132 @@
+"""Assemble a natural-image corpus from images shipped inside this
+environment (zero-egress substitute for the reference's CLIC/OpenImages
+corpus prep, utils/training_img_generation.py:9-66).
+
+Sources (all read-only package data):
+  * sklearn: china.jpg, flower.jpg  (427x640 photos)
+  * matplotlib: grace_hopper.jpg    (512x600 photo) -- HELD OUT for test
+  * labmaze assets: ~89 1024x1024 game textures / sky panoramas --
+    photo-textural content; a fixed subset is HELD OUT for test
+
+Split policy: test images are whole source images never cropped into
+train/valid, so the eval set is unseen content (grace_hopper is a real
+photograph the model never saw). This corpus is small and partly
+synthetic -- an honest in-environment stand-in for Kodak, stated as such
+in results; the pipeline (make_training_set-style patching, ACL training,
+eval_model, BD vs anchors) is exactly the reference's.
+
+    python -m lbic_tpu.tools.builtin_corpus <root> [--patch 256]
+"""
+
+import argparse
+import glob
+import os
+
+import numpy as np
+from PIL import Image
+
+SKLEARN_IMAGES = "/opt/venv/lib/python3.12/site-packages/sklearn/datasets/images"
+MPL_SAMPLE = ("/opt/venv/lib/python3.12/site-packages/matplotlib/"
+              "mpl-data/sample_data")
+LABMAZE = "/opt/venv/lib/python3.12/site-packages/labmaze/assets"
+
+# fixed held-out labmaze textures (never in train/valid)
+TEST_TEXTURES = (
+    "style_01/floor_blue_d.png",
+    "style_02/wall_purple_d.png",
+    "style_03/wall_orange_d.png",
+    "style_04/wall_green_d.png",
+    "style_05/floor_orange_bright_d.png",
+)
+
+
+def _load_rgb(path):
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"))
+
+
+def _save(dst, name, arr):
+    Image.fromarray(arr).save(os.path.join(dst, name))
+
+
+def _crop_patches(arr, size, rng, max_patches):
+    h, w = arr.shape[:2]
+    ny, nx = h // size, w // size
+    cells = [(i, j) for i in range(ny) for j in range(nx)]
+    rng.shuffle(cells)
+    for (i, j) in cells[:max_patches]:
+        yield arr[i * size:(i + 1) * size, j * size:(j + 1) * size]
+
+
+def build(root, patch=256, seed=0):
+    rng = np.random.default_rng(seed)
+    dirs = {s: os.path.join(root, s) for s in ("train", "valid", "test")}
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    # ---- test set: whole held-out images --------------------------------
+    test_srcs = [os.path.join(MPL_SAMPLE, "grace_hopper.jpg")]
+    test_srcs += [os.path.join(LABMAZE, t) for t in TEST_TEXTURES]
+    n_test = 0
+    for p in test_srcs:
+        if not os.path.isfile(p):
+            continue
+        a = _load_rgb(p)
+        if max(a.shape[:2]) > 640:  # keep eval wall-time sane
+            im = Image.fromarray(a)
+            im = im.resize((a.shape[1] // 2, a.shape[0] // 2),
+                           Image.LANCZOS)
+            a = np.asarray(im)
+        stem = os.path.splitext(os.path.basename(p))[0]
+        pdir = os.path.basename(os.path.dirname(p))
+        _save(dirs["test"], f"{pdir}_{stem}.png", a)
+        n_test += 1
+
+    # ---- train/valid: patches from everything else ----------------------
+    train_srcs = [os.path.join(SKLEARN_IMAGES, "china.jpg"),
+                  os.path.join(SKLEARN_IMAGES, "flower.jpg")]
+    held = {os.path.normpath(os.path.join(LABMAZE, t))
+            for t in TEST_TEXTURES}
+    for p in sorted(glob.glob(os.path.join(LABMAZE, "*", "*.png"))):
+        if os.path.normpath(p) not in held:
+            train_srcs.append(p)
+
+    n_train = n_valid = 0
+    for p in train_srcs:
+        if not os.path.isfile(p):
+            continue
+        a = _load_rgb(p)
+        stem = os.path.splitext(os.path.basename(p))[0]
+        pdir = os.path.basename(os.path.dirname(p))
+        # multi-scale: native + 2x downscale (adds antialiased statistics)
+        scales = [a]
+        if min(a.shape[:2]) >= 2 * patch:
+            im = Image.fromarray(a)
+            scales.append(np.asarray(im.resize(
+                (a.shape[1] // 2, a.shape[0] // 2), Image.LANCZOS)))
+        for si, arr in enumerate(scales):
+            for k, pt in enumerate(_crop_patches(arr, patch, rng, 8)):
+                # ~1 in 12 patches goes to valid
+                split = "valid" if rng.integers(12) == 0 else "train"
+                _save(dirs[split], f"{pdir}_{stem}_s{si}_{k}.png", pt)
+                if split == "train":
+                    n_train += 1
+                else:
+                    n_valid += 1
+    return {"train": n_train, "valid": n_valid, "test": n_test,
+            "dirs": dirs}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("root")
+    ap.add_argument("--patch", type=int, default=256)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    info = build(args.root, args.patch, args.seed)
+    print(f"train={info['train']} valid={info['valid']} "
+          f"test={info['test']} under {args.root}")
+
+
+if __name__ == "__main__":
+    main()

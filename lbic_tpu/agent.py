@@ -45,6 +45,7 @@ from lbic_tpu.ops.blockfold import (
     pad_to_block_multiple,
 )
 from lbic_tpu.parallel import make_mesh, shard_batch
+from lbic_tpu.parallel import distributed as dist
 from lbic_tpu.train import (
     ReduceLROnPlateau,
     checkpoint as ckpt,
@@ -136,6 +137,9 @@ class BlockBasedImgCompLossyAgent:
     def _maybe_shard(self, *arrays):
         if self.mesh is None:
             return arrays
+        if dist.process_count() > 1:
+            # each process contributes its local rows to the global batch
+            return tuple(dist.global_batch(self.mesh, a) for a in arrays)
         return tuple(shard_batch(self.mesh, a) for a in arrays)
 
     def train_step_fn(self):
@@ -176,8 +180,14 @@ class BlockBasedImgCompLossyAgent:
             [cfg.valid_data], cfg.session, self.acl_itr,
             patch_size=0, augment=False)
         bs = 1 if gen else cfg.batch_size
+        # multi-host: shard the training stream per process (gen modes
+        # shard inside the generators instead); validation runs the full
+        # set on every process so the tracked scalar is identical
+        shard = None
+        if not gen and dist.process_count() > 1:
+            shard = (dist.process_index(), dist.process_count())
         train = BatchLoader(train_ds, bs, shuffle=not gen, seed=cfg.seed,
-                            drop_last=not gen)
+                            drop_last=not gen, shard=shard)
         valid = BatchLoader(valid_ds, 1, shuffle=False, drop_last=False)
         return train, valid
 
@@ -185,6 +195,11 @@ class BlockBasedImgCompLossyAgent:
 
     def save_checkpoint(self, filename="checkpoint", is_best=False,
                         acl_itr=None, rr=None):
+        if not dist.is_main():
+            # process 0 owns checkpoints; others wait so a follow-up
+            # load_checkpoint sees the file on the shared FS
+            dist.barrier("ckpt:" + filename)
+            return
         d = self.cfg.checkpoint_dir or "."
         payload = {
             "params": self.state.params,
@@ -209,6 +224,7 @@ class BlockBasedImgCompLossyAgent:
             suffix = "rr" if rr else ""
             ckpt.save(os.path.join(
                 d, f"model_best_acl_{acl_itr}{suffix}.pkl"), payload)
+        dist.barrier("ckpt:" + filename)
 
     def load_checkpoint(self, path, weights_only=False):
         payload = ckpt.load_any(path, self.md)
@@ -577,7 +593,7 @@ class BlockBasedImgCompLossyAgent:
             self.md, p, z, x, training=False)[0], -0.5, 0.5))
         ds = loader.ds
         out_dirs = {}
-        for i in range(len(ds)):
+        for i in dist.shard_indices(len(ds)):
             x, z = ds.get(i, rng=None)
             xp, (pb, pr) = pad_to_block_multiple(jnp.asarray(x[None]),
                                                  self.B)
@@ -595,8 +611,9 @@ class BlockBasedImgCompLossyAgent:
                 out_dirs[root] = out
             save_image(os.path.join(out_dirs[root],
                                     os.path.basename(src)), img)
+        dist.barrier("gen_train_set")  # all shards on disk before reload
         self.log.info("wrote %d recon images for ACL itr %d",
-                      len(ds), self.acl_itr + 1)
+                      len(dist.shard_indices(len(ds))), self.acl_itr + 1)
 
     def generate_training_set_postproc_mdl(self):
         """Closed-loop recon dump for post-proc training (agent:686-736):
@@ -608,7 +625,7 @@ class BlockBasedImgCompLossyAgent:
                  for i in range(cfg.num_train_dirs)]
         ds = ImageDatasetACL(roots, augment=False)
         out_dirs = {}
-        for i in range(len(ds)):
+        for i in dist.shard_indices(len(ds)):
             x, _ = ds.get(i, rng=None)
             xp, _ = pad_to_block_multiple(jnp.asarray(x[None]), self.B)
             xb = block_fold(xp, self.B)
@@ -624,8 +641,9 @@ class BlockBasedImgCompLossyAgent:
                 out_dirs[root] = out
             save_image(os.path.join(out_dirs[root],
                                     os.path.basename(src)), img[:h, :w])
+        dist.barrier("gen_postproc_set")
         self.log.info("wrote %d recu-reco images for postproc training",
-                      len(ds))
+                      len(dist.shard_indices(len(ds))))
 
     def train_postproc_mdl(self):
         """Freeze the codec, train BlkBasedPostProcessing with plain MSE
@@ -694,7 +712,8 @@ class BlockBasedImgCompLossyAgent:
         ds = ImageDatasetACL([root], augment=False)
         results = {"psnr": [], "ms-ssim": [], "ms-ssimdb": [], "bpp": [],
                    "encoding_time": [], "decoding_time": []}
-        for i in range(len(ds)):
+        my_rows = []  # (image index, per-metric record) for multihost merge
+        for i in dist.shard_indices(len(ds)):
             x, _ = ds.get(i, rng=None)
             h, w = x.shape[:2]
             xp, (pb, pr) = pad_to_block_multiple(jnp.asarray(x[None]),
@@ -726,12 +745,10 @@ class BlockBasedImgCompLossyAgent:
             mss = float(metrics.ms_ssim(
                 xd[None] + 0.5, rec_dev[None] + 0.5))
             mssdb = -10 * math.log10(1 - mss)
-            results["psnr"].append(psnr)
-            results["ms-ssim"].append(mss)
-            results["ms-ssimdb"].append(mssdb)
-            results["bpp"].append(bpp)
-            results["encoding_time"].append(t_enc)
-            results["decoding_time"].append(t_dec)
+            my_rows.append((int(i), {
+                "psnr": psnr, "ms-ssim": mss, "ms-ssimdb": mssdb,
+                "bpp": bpp, "encoding_time": t_enc,
+                "decoding_time": t_dec}))
             if cfg.out_dir:
                 save_image(os.path.join(
                     cfg.out_dir,
@@ -743,6 +760,10 @@ class BlockBasedImgCompLossyAgent:
                 i, psnr, bpp, mss, mssdb, t_enc, t_dec,
                 dif.mean() * 255, dif.max() * 255,
                 os.path.basename(ds.files[i]))
+        # multihost: merge per-image rows from all processes, in order
+        for i, rec in sorted(dist.gather_object_lists(my_rows)):
+            for k in results:
+                results[k].append(rec[k])
         avg = {k: float(np.mean(v)) for k, v in results.items()}
         self.log.info("avg_psnr = %.2f avg_msssim = %.8f avg_bpp = %.4f",
                       avg["psnr"], avg["ms-ssim"], avg["bpp"])
@@ -751,7 +772,7 @@ class BlockBasedImgCompLossyAgent:
             "description": f"lbic_tpu B={self.B} lambda={self.lambda_}",
             "results": {k: results[k] for k in results},
         }
-        if cfg.out_dir:
+        if cfg.out_dir and dist.is_main():
             with open(os.path.join(cfg.out_dir, "results.json"), "w") as f:
                 json.dump(out, f, indent=2)
         return out

@@ -121,24 +121,45 @@ def _pad_min(x, ps):
 
 
 class BatchLoader:
-    """Shuffled batch iterator with one background prefetch thread."""
+    """Shuffled batch iterator with one background prefetch thread.
+
+    shard=(rank, count): multi-host per-process data sharding — every
+    process draws the SAME epoch permutation (seeded by (seed, epoch)),
+    then takes a strided, equal-length slice, so all processes iterate
+    the same number of batches (required: the train step is a global
+    collective program)."""
 
     def __init__(self, ds: ImageDatasetACL, batch_size: int,
-                 shuffle: bool = True, seed: int = 0, drop_last: bool = True):
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True,
+                 shard: Optional[Tuple[int, int]] = None):
         self.ds = ds
         self.bs = batch_size
         self.shuffle = shuffle
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self.shard = shard
+        self._epoch = 0
+
+    def _shard_len(self):
+        n = len(self.ds)
+        if self.shard:
+            n = n // self.shard[1]
+        return n
 
     def __len__(self):
-        n = len(self.ds)
+        n = self._shard_len()
         return n // self.bs if self.drop_last else (n + self.bs - 1) // self.bs
 
     def __iter__(self):
         order = np.arange(len(self.ds))
         if self.shuffle:
-            self.rng.shuffle(order)
+            # epoch-stable permutation, identical on every process
+            np.random.default_rng((self.seed, self._epoch)).shuffle(order)
+        self._epoch += 1
+        if self.shard:
+            rank, count = self.shard
+            order = order[rank::count][: self._shard_len()]
         nb = len(self)
         q: "queue.Queue" = queue.Queue(maxsize=2)
 

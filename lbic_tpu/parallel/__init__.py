@@ -4,3 +4,5 @@ from lbic_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from lbic_tpu.parallel import distributed
+

@@ -33,6 +33,12 @@ def main(argv=None):
     ap.add_argument("--mode", default=None, help="override config mode")
     args = ap.parse_args(argv)
 
+    # multi-host bootstrap (no-op single-process); process 0 owns logs
+    from lbic_tpu.parallel import distributed as dist
+
+    dist.initialize_from_env()
+    dist.quiet_non_main_logging()
+
     cfg = load_config(args.config)
     if args.mode:
         cfg.mode = args.mode

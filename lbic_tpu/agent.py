@@ -188,7 +188,10 @@ class BlockBasedImgCompLossyAgent:
             shard = (dist.process_index(), dist.process_count())
         train = BatchLoader(train_ds, bs, shuffle=not gen, seed=cfg.seed,
                             drop_last=not gen, shard=shard)
-        valid = BatchLoader(valid_ds, 1, shuffle=False, drop_last=False)
+        # val_batch_size > 1 requires same-size validation images (true
+        # for patch corpora); the reference always uses batch 1 there
+        valid = BatchLoader(valid_ds, 1 if gen else cfg.val_batch_size,
+                            shuffle=False, drop_last=False)
         return train, valid
 
     # ---------------------------- checkpointing ----------------------------
@@ -403,6 +406,7 @@ class BlockBasedImgCompLossyAgent:
         rdcost_maps, orig_imgs = [], []
         sums = np.zeros(3)
         n = 0
+        img_base = 0
         for x, z in valid_loader:
             xp, _ = pad_to_block_multiple(jnp.asarray(x), self.B)
             xb = block_fold(xp, self.B)
@@ -421,10 +425,11 @@ class BlockBasedImgCompLossyAgent:
             p = float(metrics.psnr(xb, zhat))
             score = bpp + self.lambda_ * mse
             sums += (score, p, bpp)
-            n += 1
             if save_imgs:
-                self._save_valid_reco_img(valid_loader.ds, n - 1, zhat,
+                self._save_valid_reco_img(valid_loader.ds, img_base, zhat,
                                           x.shape[1], x.shape[2])
+            img_base += x.shape[0]
+            n += 1
         loss, psnr, rate = sums / max(n, 1)
         self.log.info("[validrr] epoch %d: rd=%.6f psnr=%.4f bpp=%.5f",
                       self.current_epoch, loss, psnr, rate)
@@ -441,18 +446,20 @@ class BlockBasedImgCompLossyAgent:
             self.log.info("saved per-block RD cost maps to %s", path)
         return loss
 
-    def _save_valid_reco_img(self, ds, i, zhat, h, w):
-        """Save the closed-loop reconstruction of validation image i,
-        like dataset.save_valid_reco_img (image_dl_ACL.py:189-205): into
+    def _save_valid_reco_img(self, ds, base, zhat, h, w):
+        """Save the closed-loop reconstructions of validation images
+        base..base+n-1, like dataset.save_valid_reco_img
+        (image_dl_ACL.py:189-205): into
         <exp_dir>/<valid-dir-name>/<original filename>."""
-        src = ds.files[i]
-        out = os.path.join(
-            self.cfg.exp_dir or ".",
-            os.path.basename(os.path.dirname(src)) or "valid_recos")
-        os.makedirs(out, exist_ok=True)
-        img = np.asarray(block_unfold(jnp.clip(zhat, -0.5, 0.5),
-                                      self.B))[0, :h, :w]
-        save_image(os.path.join(out, os.path.basename(src)), img)
+        imgs = np.asarray(block_unfold(jnp.clip(zhat, -0.5, 0.5), self.B))
+        for j in range(imgs.shape[0]):
+            src = ds.files[base + j]
+            out = os.path.join(
+                self.cfg.exp_dir or ".",
+                os.path.basename(os.path.dirname(src)) or "valid_recos")
+            os.makedirs(out, exist_ok=True)
+            save_image(os.path.join(out, os.path.basename(src)),
+                       imgs[j, :h, :w])
 
     def train_one_acl(self):
         """One ACL iteration's DL training (agents/base.py:209-233)."""
@@ -593,24 +600,43 @@ class BlockBasedImgCompLossyAgent:
             self.md, p, z, x, training=False)[0], -0.5, 0.5))
         ds = loader.ds
         out_dirs = {}
-        for i in dist.shard_indices(len(ds)):
-            x, z = ds.get(i, rng=None)
-            xp, (pb, pr) = pad_to_block_multiple(jnp.asarray(x[None]),
-                                                 self.B)
-            zp, _ = pad_to_block_multiple(jnp.asarray(z[None]), self.B)
-            xhat = fwd(self.state.params, block_fold(zp, self.B),
-                       block_fold(xp, self.B))
-            img = np.asarray(block_unfold(xhat, self.B))[0]
-            h, w = x.shape[:2]
-            img = img[:h, :w]
+
+        def out_path(i):
             src = ds.files[i]
             root = os.path.dirname(src)
             if root not in out_dirs:
                 out = acl_dir(root, self.cfg.session, self.acl_itr + 1)
                 os.makedirs(out, exist_ok=True)
                 out_dirs[root] = out
-            save_image(os.path.join(out_dirs[root],
-                                    os.path.basename(src)), img)
+            return os.path.join(out_dirs[root], os.path.basename(src))
+
+        def flush(shape, items):
+            k = len(items)
+            items = items + [items[-1]] * (16 - k)  # pad: one compile/shape
+            xs = np.stack([it[1] for it in items])
+            zs = np.stack([it[2] for it in items])
+            xp, _ = pad_to_block_multiple(jnp.asarray(xs), self.B)
+            zp, _ = pad_to_block_multiple(jnp.asarray(zs), self.B)
+            xhat = fwd(self.state.params, block_fold(zp, self.B),
+                       block_fold(xp, self.B))
+            imgs = np.asarray(block_unfold(xhat, self.B))
+            h, w = shape[:2]
+            for (i, _, _), img in zip(items[:k], imgs[:k]):
+                save_image(out_path(i), img[:h, :w])
+
+        # batch same-size images (one jitted forward per 16; the reference
+        # runs batch 1, agent:649-651 — an on-disk-identical speedup)
+        buckets = {}
+        for i in dist.shard_indices(len(ds)):
+            x, z = ds.get(i, rng=None)
+            b = buckets.setdefault(x.shape, [])
+            b.append((i, x, z))
+            if len(b) == 16:
+                flush(x.shape, b)
+                buckets[x.shape] = []
+        for shape, items in buckets.items():
+            if items:
+                flush(shape, items)
         dist.barrier("gen_train_set")  # all shards on disk before reload
         self.log.info("wrote %d recon images for ACL itr %d",
                       len(dist.shard_indices(len(ds))), self.acl_itr + 1)
@@ -741,10 +767,10 @@ class BlockBasedImgCompLossyAgent:
             rec_dev = block_unfold(zdec, self.B)[0, :h, :w]
             xd = jnp.asarray(x)
             mse = float(jnp.mean((rec_dev - xd) ** 2))
-            psnr = -10 * math.log10(mse)
+            psnr = -10 * math.log10(max(mse, 1e-12))
             mss = float(metrics.ms_ssim(
                 xd[None] + 0.5, rec_dev[None] + 0.5))
-            mssdb = -10 * math.log10(1 - mss)
+            mssdb = -10 * math.log10(max(1 - mss, 1e-12))
             my_rows.append((int(i), {
                 "psnr": psnr, "ms-ssim": mss, "ms-ssimdb": mssdb,
                 "bpp": bpp, "encoding_time": t_enc,

@@ -40,10 +40,11 @@ def train_and_eval_point(lam, args, dirs, exp_root):
         exp_name=f"exp_{lam}", net_version="v9", block_size=8,
         KS=(3, 1, 1, 1), N=args.n, M=args.m, lambda_=lam,
         distortion="mse", batch_size=args.batch, patch_size=args.patch,
-        learning_rate=args.lr, max_epoch=10000,
+        val_batch_size=8, learning_rate=args.lr, max_epoch=10000,
         max_acl_itr=args.acl_itrs, max_epochs_per_acl=args.epochs_per_acl,
         validate_every=1, validate_recu_reco_every=3,
         acl_bool=True, training_loss_switch=1,
+        chained_training=args.chained,
         cnt_no_improvement_valid_thresholds=(2, 2, 1, 1),
         acl_itr0_rdloss_threshold=0.0,  # itr 0 exits via the epoch cap
         num_train_dirs=1, train_data_1=dirs["train"],
@@ -98,8 +99,13 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--patch", type=int, default=256)
     ap.add_argument("--lr", type=float, default=8e-4)
-    ap.add_argument("--acl-itrs", type=int, default=2)
-    ap.add_argument("--epochs-per-acl", type=int, default=8)
+    ap.add_argument("--acl-itrs", type=int, default=4)
+    ap.add_argument("--epochs-per-acl", type=int, default=6)
+    ap.add_argument("--chained", action="store_true",
+                    help="chained training from the start (the reference "
+                         "enables it when closed-loop improvement stalls, "
+                         "agent:162-176; with few bounded ACL itrs it is "
+                         "the strongest closed-loop-quality lever)")
     ap.add_argument("--resume", action="store_true", default=True)
     args = ap.parse_args(argv)
 

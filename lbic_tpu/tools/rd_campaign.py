@@ -35,6 +35,7 @@ RESULT_KEYS = ("psnr", "ms-ssim", "ms-ssimdb", "bpp", "encoding_time",
 def train_and_eval_point(lam, args, dirs, exp_root):
     from lbic_tpu.agent import BlockBasedImgCompLossyAgent as Agent
     from lbic_tpu.config import LbicConfig, process_config
+    from lbic_tpu.utils.loggers import setup_logging
 
     base = dict(
         exp_name=f"exp_{lam}", net_version="v9", block_size=8,
@@ -53,6 +54,7 @@ def train_and_eval_point(lam, args, dirs, exp_root):
     )
     cfg = process_config(LbicConfig(**base, mode="train_all_acl"),
                          root=exp_root)
+    setup_logging(cfg.log_dir)
     done_marker = os.path.join(cfg.out_dir, "results.json")
     if not (args.resume and os.path.isfile(done_marker)):
         ck = os.path.join(cfg.checkpoint_dir, "checkpoint.pkl")

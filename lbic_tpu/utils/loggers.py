@@ -97,6 +97,13 @@ def setup_logging(log_dir: str = None, level=logging.INFO):
         ch.setFormatter(logging.Formatter("%(asctime)s %(message)s"))
         root.addHandler(ch)
     if log_dir:
+        # one experiment's files at a time: drop file handlers from any
+        # previous experiment (multi-point drivers like rd_campaign call
+        # this once per operating point)
+        for h in list(root.handlers):
+            if isinstance(h, logging.handlers.RotatingFileHandler):
+                root.removeHandler(h)
+                h.close()
         os.makedirs(log_dir, exist_ok=True)
         fh = logging.handlers.RotatingFileHandler(
             os.path.join(log_dir, "exp_debug.log"),

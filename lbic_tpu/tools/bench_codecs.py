@@ -18,6 +18,10 @@ from lbic_tpu.tools.codecs import CODECS
 
 def bench(codec_name: str, image_dir: str, qualities) -> dict:
     cls = CODECS[codec_name]
+    if not cls.available():
+        raise SystemExit(
+            f"codec '{codec_name}' is not available in this environment "
+            f"(missing binary/feature)")
     codec = cls()
     files = list_images(image_dir)
     if not files:

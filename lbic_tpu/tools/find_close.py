@@ -12,7 +12,10 @@ from lbic_tpu.tools.codecs import CODECS
 
 def find_close(codec_name: str, img: str, target: float,
                metric: str = "bpp", qmin: int = 1, qmax: int = 100):
-    codec = CODECS[codec_name]()
+    cls = CODECS[codec_name]
+    if not cls.available():
+        raise SystemExit(f"codec '{codec_name}' is not available")
+    codec = cls()
     best = None
     while qmax - qmin > 1:
         mid = (qmin + qmax) // 2

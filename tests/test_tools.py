@@ -77,3 +77,42 @@ def test_plot_rd(tmp_path):
                                         "psnr": [30, 35]}}, open(p, "w"))
     out = plot([str(p)], output=str(tmp_path / "rd.png"))
     assert os.path.getsize(out) > 1000
+
+
+def test_jpeg2000_codec(imgdir):
+    """JPEG2000 (Pillow/OpenJPEG) keeps the ascending-quality convention
+    and beats JPEG-like rates at its high end."""
+    from lbic_tpu.tools.codecs import CODECS
+
+    assert CODECS["jpeg2000"].available()
+    codec = CODECS["jpeg2000"]()
+    img = str(sorted(imgdir.glob("*.png"))[0])
+    lo = codec.run(img, 10)
+    hi = codec.run(img, 90)
+    assert hi["psnr"] > lo["psnr"]
+    assert hi["bpp"] > lo["bpp"]
+    assert lo["bpp"] > 0
+
+
+def test_yuv444_roundtrip():
+    """RGB -> YUV444 -> RGB for the reference-software shims is within
+    rounding of identity."""
+    from lbic_tpu.tools.codecs import _rgb_to_yuv444, _yuv444_to_rgb
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (31, 17, 3), dtype=np.uint8)
+    rec = _yuv444_to_rgb(_rgb_to_yuv444(rgb))
+    assert np.max(np.abs(rec.astype(int) - rgb.astype(int))) <= 2
+
+
+def test_gated_codecs_registry():
+    """Subprocess codecs are registered but gate on missing binaries
+    (none ship in this environment); bench refuses them cleanly."""
+    from lbic_tpu.tools.bench_codecs import bench
+    from lbic_tpu.tools.codecs import CODECS
+
+    for name in ("vtm", "hm", "av1", "tfci", "bpg"):
+        assert name in CODECS
+        if not CODECS[name].available():
+            with pytest.raises(SystemExit):
+                bench(name, ".", [30])

@@ -209,3 +209,73 @@ def test_import_torch_cli(tmp_path):
     assert (jax.tree.structure(ref) ==
             jax.tree.structure(jax.tree.map(jnp.asarray,
                                             payload["params"])))
+
+
+@pytest.mark.slow
+def test_torch_import_full_scale_codec_bitexact(tmp_path):
+    """VERDICT #8: the import path at the PUBLISHED model size — v9 B=8
+    KS=(3,1,1,1) N=768 M=96 (configs/blkbsdimgcomp_B8_lowrate.json) —
+    through the import_torch CLI, then (a) open-loop forward parity vs
+    the live torch model, (b) wavefront codec encode/decode bit-exact
+    round trip with the imported weights (the reference's own eval
+    criterion, agents/blkbsdimgcomp_agent.py:600-602)."""
+    import json
+
+    from lbic_tpu.engine import wavefront as wf
+    from lbic_tpu.tools import import_torch as cli
+    from lbic_tpu.train import checkpoint as ckpt
+
+    torch.manual_seed(3)
+    B, N, Mch, K1, K2 = 8, 768, 96, 3, 1
+    cx = 3 * B * B
+    tnet = TNetV9(cx, N, Mch, K1, K2).eval()
+    with torch.no_grad():
+        for p in tnet.parameters():
+            p.add_(0.01 * torch.randn_like(p))
+
+    pth = tmp_path / "model_best_acl_3rr.pth.tar"
+    torch.save({"state_dict0": tnet.state_dict(), "epoch": 42}, pth)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(
+        {"net_version": "v9", "block_size": B, "KS": [K1, K2, 1, 1],
+         "N": N, "M": Mch, "lambda_": 117.045}))
+    out = tmp_path / "native.pkl"
+    cli.main([str(cfg_path), str(pth), str(out)])
+
+    cfg = LbicConfig(net_version="v9", block_size=B, KS=(K1, K2, 1, 1),
+                     N=N, M=Mch)
+    md = M.make_model_def(cfg)
+    n_params = sum(a.size for a in jax.tree.leaves(
+        M.init_params(md, jax.random.PRNGKey(0))))
+    assert n_params > 5e6  # genuinely full-scale
+    params = jax.tree.map(jnp.asarray,
+                          ckpt.load_any(str(out), md)["params"])
+
+    # (a) open-loop parity on a small grid at full channel width
+    n, Hb, Wb = 1, 4, 5
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-0.5, 0.5, (n, cx, Hb, Wb)).astype(np.float32)
+    zh = rng.uniform(-0.5, 0.5, (n, cx, Hb, Wb)).astype(np.float32)
+    with torch.no_grad():
+        ty, tsc, tmu, _, txh = tnet(torch.from_numpy(zh),
+                                    torch.from_numpy(x))
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    zj = jnp.asarray(zh.transpose(0, 2, 3, 1))
+    np.testing.assert_allclose(
+        np.asarray(M.analysis_full(md, params, zj, xj)),
+        ty.numpy().transpose(0, 2, 3, 1), atol=1e-4, rtol=1e-3)
+    scj, muj = M.meanscale_full(md, params, zj)
+    np.testing.assert_allclose(np.asarray(scj),
+                               tsc.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(muj),
+                               tmu.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-4, rtol=1e-3)
+
+    # (b) codec round trip, bit-exact, with the imported weights
+    codec = wf.WavefrontCodec(md, params)
+    xc = jnp.asarray(rng.uniform(-0.5, 0.5,
+                                 (1, 4, 5, cx)).astype(np.float32))
+    streams, zhat_e = codec.compress(xc)
+    zhat_d = codec.decompress(streams, 4, 5)
+    assert np.array_equal(np.asarray(zhat_e), np.asarray(zhat_d))

@@ -6,7 +6,15 @@ interpolation variant): integrate the difference of the two RD curves in
 (log-rate, psnr) space over the overlapping quality interval."""
 
 import numpy as np
-from scipy.interpolate import Akima1DInterpolator
+from scipy.interpolate import Akima1DInterpolator, PchipInterpolator
+
+
+def _interp(x, y):
+    """Akima like the reference (bjontegaard pip pkg); curves with too
+    few points for Akima's quintic end conditions fall back to PCHIP
+    (monotone cubic — same integral to first order on sparse curves)."""
+    return (Akima1DInterpolator(x, y) if len(x) >= 5
+            else PchipInterpolator(x, y))
 
 
 def _prep(rate, dist):
@@ -25,8 +33,8 @@ def bd_rate(rate_anchor, dist_anchor, rate_test, dist_test) -> float:
     hi = min(da.max(), dt.max())
     if hi <= lo:
         raise ValueError("RD curves do not overlap in quality")
-    fa = Akima1DInterpolator(da, ra)
-    ft = Akima1DInterpolator(dt, rt)
+    fa = _interp(da, ra)
+    ft = _interp(dt, rt)
     xs = np.linspace(lo, hi, 256)
     avg = np.trapezoid(ft(xs) - fa(xs), xs) / (hi - lo)
     return float((10 ** avg - 1) * 100)
@@ -40,8 +48,8 @@ def bd_psnr(rate_anchor, dist_anchor, rate_test, dist_test) -> float:
     # swap axes: interpolate dist as a function of log-rate
     oa = np.argsort(ra)
     ot = np.argsort(rt)
-    fa = Akima1DInterpolator(ra[oa], da[oa])
-    ft = Akima1DInterpolator(rt[ot], dt[ot])
+    fa = _interp(ra[oa], da[oa])
+    ft = _interp(rt[ot], dt[ot])
     lo = max(ra.min(), rt.min())
     hi = min(ra.max(), rt.max())
     if hi <= lo:

@@ -121,26 +121,9 @@ def main(argv=None):
     dirs = {s: os.path.abspath(os.path.join(args.corpus, s))
             for s in ("train", "valid", "test")}
 
-    agg = {"name": "lbic_tpu",
-           "description": (f"lbic_tpu v9 B=8 KS=3111 N={args.n} M={args.m} "
-                           f"(scaled from N=768 M=96), real ACL training "
-                           f"({args.acl_itrs} itrs) on the in-env corpus, "
-                           f"wavefront codec eval on held-out images"),
-           "results": {k: [] for k in RESULT_KEYS}}
-    for lam in args.lambdas:
-        res = train_and_eval_point(lam, args, dirs, args.work)
-        for k in RESULT_KEYS:
-            agg["results"][k].append(float(np.mean(res["results"][k])))
-        print(f"lambda={lam}: bpp={agg['results']['bpp'][-1]:.4f} "
-              f"psnr={agg['results']['psnr'][-1]:.2f}", flush=True)
-
-    ours_path = os.path.join(args.out, "lbic.json")
-    with open(ours_path, "w") as f:
-        json.dump(agg, f, indent=2)
-
-    anchor_paths = [ours_path]
-    bd_txt = []
-    failed = False
+    # anchors first (CPU-cheap) so every incremental artifact below can
+    # include the BD comparison
+    anchors, anchor_paths = [], []
     for name, qualities in (("jpeg", (10, 20, 35, 50, 65, 80, 90, 95)),
                             ("webp", (5, 15, 30, 50, 70, 85, 95))):
         anchor = anchor_sweep(codecs.CODECS[name](), dirs["test"],
@@ -148,23 +131,67 @@ def main(argv=None):
         path = os.path.join(args.out, f"{name}.json")
         with open(path, "w") as f:
             json.dump(anchor, f, indent=2)
+        anchors.append(anchor)
         anchor_paths.append(path)
-        try:
-            r = bd.bd_from_results(anchor, agg)
-            bd_txt.append(f"lbic_tpu vs {name}: BD-rate "
-                          f"{r['bd_rate_pct']:+.2f} %  BD-PSNR "
-                          f"{r['bd_psnr_db']:+.3f} dB")
-        except ValueError as e:
-            failed = True
-            bd_txt.append(f"lbic_tpu vs {name}: BD failed ({e}) — "
-                          f"ours bpp {agg['results']['bpp']} psnr "
-                          f"{[round(p, 2) for p in agg['results']['psnr']]}")
-    plot_rd.plot(anchor_paths, metric="psnr",
-                 output=os.path.join(args.out, "rd.png"),
-                 title="lbic_tpu (ACL-trained) vs JPEG/WebP, held-out set")
-    with open(os.path.join(args.out, "bd.txt"), "w") as f:
-        f.write("\n".join(bd_txt) + "\n")
-    print("\n".join(bd_txt))
+
+    agg = {"name": "lbic_tpu",
+           "description": (f"lbic_tpu v9 B=8 KS=3111 N={args.n} M={args.m} "
+                           f"(scaled from N=768 M=96), real ACL training "
+                           f"({args.acl_itrs} itrs) on the in-env corpus, "
+                           f"wavefront codec eval on held-out images"),
+           "results": {k: [] for k in RESULT_KEYS}}
+    ours_path = os.path.join(args.out, "lbic.json")
+
+    def publish():
+        """(Re)write lbic.json / bd.txt / rd.png from the lambda points
+        finished so far — the campaign leaves a usable artifact after
+        every point, not only at the very end. Returns True while any BD
+        computation still fails."""
+        order = np.argsort(agg["results"]["bpp"])
+        out = dict(agg, results={k: [agg["results"][k][i] for i in order]
+                                 for k in RESULT_KEYS})
+        with open(ours_path, "w") as f:
+            json.dump(out, f, indent=2)
+        bd_txt, failed = [], False
+        for anchor in anchors:
+            name = anchor["name"]
+            try:
+                r = bd.bd_from_results(anchor, out)
+                bd_txt.append(f"lbic_tpu vs {name}: BD-rate "
+                              f"{r['bd_rate_pct']:+.2f} %  BD-PSNR "
+                              f"{r['bd_psnr_db']:+.3f} dB")
+            except ValueError as e:
+                failed = True
+                bd_txt.append(
+                    f"lbic_tpu vs {name}: BD failed ({e}) — ours bpp "
+                    f"{out['results']['bpp']} psnr "
+                    f"{[round(p, 2) for p in out['results']['psnr']]}")
+        bd_txt.append(f"({len(out['results']['bpp'])} lambda points: "
+                      f"{sorted(done)})")
+        plot_rd.plot([ours_path] + anchor_paths, metric="psnr",
+                     output=os.path.join(args.out, "rd.png"),
+                     title="lbic_tpu (ACL-trained) vs JPEG/WebP, "
+                           "held-out set")
+        with open(os.path.join(args.out, "bd.txt"), "w") as f:
+            f.write("\n".join(bd_txt) + "\n")
+        print("\n".join(bd_txt), flush=True)
+        return failed
+
+    # rate-range extremes first: any prefix >= 2 points already spans the
+    # final curve's rate range, so BD overlap is established early
+    lams = sorted(args.lambdas)
+    order = ([lams[0], lams[-1]] + lams[1:-1][::-1]
+             if len(lams) > 2 else lams)
+    done = []
+    failed = True
+    for lam in order:
+        res = train_and_eval_point(lam, args, dirs, args.work)
+        for k in RESULT_KEYS:
+            agg["results"][k].append(float(np.mean(res["results"][k])))
+        done.append(lam)
+        print(f"lambda={lam}: bpp={agg['results']['bpp'][-1]:.4f} "
+              f"psnr={agg['results']['psnr'][-1]:.2f}", flush=True)
+        failed = publish()
     return 1 if failed else 0
 
 

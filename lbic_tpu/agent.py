@@ -161,8 +161,9 @@ class BlockBasedImgCompLossyAgent:
         if self._codec is None:
             if self.cfg.codec_engine == "turbo":
                 from lbic_tpu.engine.turbo import TurboCodec
-                self._codec = TurboCodec(self.md, self.state.params,
-                                         G=self.cfg.turbo_groups)
+                self._codec = TurboCodec(
+                    self.md, self.state.params, G=self.cfg.turbo_groups,
+                    lane_slots=self.cfg.turbo_lane_slots)
             else:
                 self._codec = wf.WavefrontCodec(self.md, self.state.params)
         return self._codec

@@ -68,7 +68,16 @@ class LbicConfig:
     #     per image cost 8 B each (measured 0.008 bpp/group-count at
     #     768x512 — material at the lowest rate points).
     codec_engine: str = "wavefront"  # wavefront | turbo
-    turbo_groups: int = 8
+    # rate-faithful turbo defaults (measured, results/PERF_LOG.md): one
+    # channel group and 6 schedule slots per rans32 stream = 8 streams
+    # per 768x512 image -> 50 B (0.0010 bpp) header+state overhead,
+    # <=1% of the flagship's lowest operating point, at >=100x the
+    # reference's round-trip throughput. For maximum speed (225x) use
+    # turbo_groups=8, turbo_lane_slots=1 and pay ~0.047 bpp.
+    turbo_groups: int = 1
+    # schedule slots per rans32 stream: divides the per-stream ~6 B
+    # header+state overhead by this factor (engine/turbo.py lane_slots)
+    turbo_lane_slots: int = 6
 
     # ACL
     acl_bool: bool = True

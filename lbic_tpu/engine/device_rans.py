@@ -517,6 +517,49 @@ def gather_payload(vals, flags, csum, x, W_hw):
     return lens, packed
 
 
+def decode_block_channels_merged(hw, x, pos, indexes, valid, G, KS,
+                                 fused, cheap=None, hw_words=None):
+    """Slot-merged variant of decode_block_channels: KS schedule slots
+    share one lane (lane j serves slots j*KS .. j*KS+KS-1), cutting the
+    per-image stream count — and its ~6 B/stream header+state overhead —
+    by KS, at the cost of KS x more sequential decode iterations per
+    wavefront step. Decode order within a step is (ks asc, k asc): the
+    exact image of the v2 lane mapping on the (steps*KS, LS) reshaped
+    schedule, so every encoder (host C++/numpy, device phase A/B) reuses
+    the v2 format via that reshape (TurboCodec._merge_*). Uses the fused
+    2-touch path only (the production decoder).
+
+    indexes: (N, Dmax_p, M) with Dmax_p = LS*KS; valid: (Dmax_p,) bool;
+    x, pos: (N, LS, G). Returns (symbols (N, Dmax_p, M), x', pos')."""
+    N, Dmax_p, M = indexes.shape
+    K = M // G
+    assert K * G == M, (M, G)
+    LS = Dmax_p // KS
+    assert LS * KS == Dmax_p, (Dmax_p, KS)
+    if hw_words is None:
+        hw_words = pack_halfwords(hw)
+    # iteration t = ks*K + k decodes channel k*G+g of slot j*KS+ks on
+    # lane (j, g)
+    idx_r = jnp.reshape(indexes, (N, LS, KS, K, G))
+    idx_r = jnp.transpose(idx_r, (2, 3, 0, 1, 4)).reshape(KS * K, N, LS, G)
+    act_r = jnp.broadcast_to(
+        jnp.transpose(valid.reshape(LS, KS))[:, None, :, None],
+        (KS, N, LS, G))
+
+    def body_f(t, carry):
+        x, pos, out = carry
+        sym, x, pos = decode_symbols_fused(
+            hw_words, x, pos, idx_r[t], act_r[t // K], fused, cheap=cheap)
+        return x, pos, out.at[t].set(sym)
+
+    out0 = jnp.zeros((KS * K, N, LS, G), jnp.int32)
+    x, pos, out = jax.lax.fori_loop(0, KS * K, body_f, (x, pos, out0))
+    symbols = jnp.transpose(
+        out.reshape(KS, K, N, LS, G), (2, 3, 0, 1, 4)).reshape(
+            N, Dmax_p, M)
+    return symbols, x, pos
+
+
 def pack_halfwords(hw):
     """(T,) uint32 halfwords -> (ceil(T/2),) uint32 word-packed stream for
     the fused decoder's 3-word refill slices; odd T is zero-padded."""

@@ -49,7 +49,7 @@ class TurboCodec:
 
     def __init__(self, md: M.ModelDef, params, G: int = 8,
                  hw_factor: int = 2, cdf_tables=None, mesh=None,
-                 device_encode: bool = True):
+                 device_encode: bool = True, lane_slots: int = 1):
         """mesh: optional jax.sharding.Mesh with a "data" axis — images
         shard across it (embarrassingly parallel eval, the reference's
         per-image loop agents/blkbsdimgcomp_agent.py:578 spread over
@@ -66,6 +66,13 @@ class TurboCodec:
         self.params = params
         self.mesh = mesh
         self.G = G
+        # lane_slots (KS): schedule slots per stream. Streams per image =
+        # ceil(Dmax/KS) * G, so KS divides the ~6 B/stream header+state
+        # overhead by KS; decode runs KS x more sequential iterations per
+        # wavefront step (measured on v5e the decoder is
+        # touch-throughput-bound, so moderate KS is nearly free —
+        # results/PERF_LOG.md)
+        self.KS = lane_slots
         self.hw_factor = hw_factor
         self.device_encode = device_encode
         self.scale_table = ent.get_scale_table()
@@ -91,9 +98,25 @@ class TurboCodec:
                 Hb, Wb, wf.min_slope(self.md))
         return self._sched_cache[key]
 
+    def _lane_grid(self, sched):
+        """(Dmax_p, LS): slot axis padded to a lane_slots multiple and
+        the resulting lanes-per-group count."""
+        Dmax_p = -(-sched.Dmax // self.KS) * self.KS
+        return Dmax_p, Dmax_p // self.KS
+
+    def _merge_valid(self, sched):
+        """Schedule valid mask on the merged (steps*KS, LS) grid — the
+        reshape under which rans32 v2 == the slot-merged v3 mapping."""
+        Dmax_p, LS = self._lane_grid(sched)
+        vpad = np.pad(sched.valid,
+                      ((0, 0), (0, Dmax_p - sched.Dmax)))
+        return vpad.reshape(-1, LS, self.KS).transpose(0, 2, 1).reshape(
+            -1, LS)
+
     def _caps(self, n, Hb, Wb):
         n_sym = Hb * Wb * self.md.M
-        lanes_hw = self.schedule(Hb, Wb).Dmax * self.G * 2
+        _, LS = self._lane_grid(self.schedule(Hb, Wb))
+        lanes_hw = LS * self.G * 2
         cap = n * (self.hw_factor * n_sym + lanes_hw)
         return cap + (cap & 1)  # even: the fused decoder word-packs it
 
@@ -107,8 +130,10 @@ class TurboCodec:
         key = (n, Hb, Wb, compact)
         if key in self._scan_cache:
             return self._scan_cache[key]
-        md, G = self.md, self.G
+        md, G, KS = self.md, self.G, self.KS
         sched = self.schedule(Hb, Wb)
+        Dmax_p, _ = self._lane_grid(sched)
+        slot_pad = Dmax_p - sched.Dmax
         P = md.ms_lru
         vs_t = jnp.asarray(sched.vs)
         hs_t = jnp.asarray(sched.hs)
@@ -147,10 +172,23 @@ class TurboCodec:
                 y_sym_enc = jnp.round(y - means).astype(jnp.int32)
                 y_sym_enc = wf._unflatten_nd(y_sym_enc, n)
                 # decoder branch: on-device rANS
-                sym_dec, lx, lp = device_rans.decode_block_channels(
-                    hw, lx, lp, idx_b, valid & is_decode, G,
-                    cdf, cdf_len, offsets, fused=fused,
-                    cheap=jnp.logical_not(is_decode), hw_words=hww)
+                if KS == 1:
+                    sym_dec, lx, lp = device_rans.decode_block_channels(
+                        hw, lx, lp, idx_b, valid & is_decode, G,
+                        cdf, cdf_len, offsets, fused=fused,
+                        cheap=jnp.logical_not(is_decode), hw_words=hww)
+                else:
+                    # pad only the entropy-decode inputs to the merged
+                    # grid; the model math stays on the Dmax slots
+                    idx_p = jnp.pad(idx_b,
+                                    ((0, 0), (0, slot_pad), (0, 0)))
+                    val_p = jnp.pad(valid & is_decode, (0, slot_pad))
+                    sym_dec, lx, lp = \
+                        device_rans.decode_block_channels_merged(
+                            hw, lx, lp, idx_p, val_p, G, KS, fused,
+                            cheap=jnp.logical_not(is_decode),
+                            hw_words=hww)
+                    sym_dec = sym_dec[:, :idx_b.shape[1]]
                 y_sym = jnp.where(is_decode, sym_dec, y_sym_enc)
                 # shared tail: dequantize + synthesis + commit
                 y_qnt = wf._flatten_nd(y_sym).astype(jnp.float32) + means
@@ -206,16 +244,27 @@ class TurboCodec:
         if key in self._scan_cache:
             return self._scan_cache[key]
         sched = self.schedule(Hb, Wb)
-        G = self.G
-        valid_t = jnp.asarray(sched.valid)
+        G, KS = self.G, self.KS
+        Dmax_p, LS = self._lane_grid(sched)
+        slot_pad = Dmax_p - sched.Dmax
+        valid_t = jnp.asarray(self._merge_valid(sched))
         cdf, cdf_len, offsets = self._cdf, self._cdf_len, self._offsets
         enc_luts = self._enc_luts
+
+        def merge(a):
+            """(steps, n, Dmax, M) -> (steps*KS, n, LS, M): the reshape
+            under which the v2 encoder produces the slot-merged format."""
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, slot_pad), (0, 0)))
+            steps, nn, _, Mch = a.shape
+            a = a.reshape(steps, nn, LS, KS, Mch)
+            return jnp.transpose(a, (0, 3, 1, 2, 4)).reshape(
+                steps * KS, nn, LS, Mch)
 
         @jax.jit
         def phase_a(ys, idxs):
             vals, flags, x = device_rans.encode_emissions(
-                ys, idxs, valid_t, G, cdf, cdf_len, offsets,
-                enc_luts=enc_luts)
+                merge(ys), merge(idxs), valid_t, G, cdf, cdf_len,
+                offsets, enc_luts=enc_luts)
             lens, csum = device_rans.lane_lengths(flags, n)
             return vals, flags, csum, x, lens
 
@@ -253,12 +302,12 @@ class TurboCodec:
         n, Hb, Wb, _ = x.shape
         sched = self.schedule(Hb, Wb)
         G = self.G
-        lanes = sched.Dmax * G
+        _, LS = self._lane_grid(sched)
         cap = self._caps(n, Hb, Wb)
         fn = self._scan_fn(n, Hb, Wb, compact=not self.device_encode)
         hw = jnp.zeros((cap,), jnp.uint32)
-        lx = jnp.zeros((n, sched.Dmax, G), jnp.uint32)
-        lp = jnp.zeros((n, sched.Dmax, G), jnp.int32)
+        lx = jnp.zeros((n, LS, G), jnp.uint32)
+        lp = jnp.zeros((n, LS, G), jnp.int32)
         zhat, ys_c, idx_c = fn(self.params, jnp.asarray(x), hw, lx, lp,
                                jnp.asarray(False))
         if self.device_encode:
@@ -270,7 +319,7 @@ class TurboCodec:
             W_hw = max(256, 1 << int(np.ceil(np.log2(int(totals.max())))))
             _, packed = phase_b(vals, flags, csum, xst, W_hw)
             part = np.asarray(packed)   # W_hw/2 uint32 per image
-            LZ = sched.Dmax * G
+            LZ = LS * G
             if lens.max() > 0xFFFF or LZ > 0xFFFF:
                 raise ValueError(
                     f"lane stream {int(lens.max())} halfwords exceeds the "
@@ -290,7 +339,15 @@ class TurboCodec:
         idx_c = np.asarray(idx_c).astype(np.int32)
         Mch = self.md.M
         vmask = sched.valid
+        vmerged = self._merge_valid(sched)
+        Dmax_p, _ = self._lane_grid(sched)
         t = self.tables
+
+        def merge(a):
+            a = np.pad(a, ((0, 0), (0, Dmax_p - sched.Dmax), (0, 0)))
+            a = a.reshape(sched.steps, LS, self.KS, Mch)
+            return a.transpose(0, 2, 1, 3).reshape(-1, LS, Mch)
+
         streams = []
         ys_pad = np.zeros((sched.steps, sched.Dmax, Mch), np.int32)
         idx_pad = np.zeros_like(ys_pad)
@@ -298,7 +355,7 @@ class TurboCodec:
             ys_pad[vmask] = ys_c[i]
             idx_pad[vmask] = idx_c[i]
             s = coding.encode_interleaved(
-                ys_pad, idx_pad, vmask, Mch, G,
+                merge(ys_pad), merge(idx_pad), vmerged, Mch, G,
                 t["cdf"], t["cdf_lengths"], t["offsets"])
             if (len(s) + 1) // 2 > cap // n:
                 raise ValueError(
@@ -313,12 +370,13 @@ class TurboCodec:
         n = len(streams)
         sched = self.schedule(Hb, Wb)
         G = self.G
+        _, LS = self._lane_grid(sched)
         cap = self._caps(n, Hb, Wb)
         hws, starts = [], []
         off = 0
         for s in streams:
             h, st = rans32.parse_header(s)
-            assert len(st) == sched.Dmax * G, (len(st), sched.Dmax, G)
+            assert len(st) == LS * G, (len(st), LS, G)
             hws.append(h)
             starts.append(st + off)
             off += len(h)
@@ -333,7 +391,7 @@ class TurboCodec:
         bucket = min(bucket, (cap + 1) // 2)
         padded = np.zeros(bucket, np.uint32)
         padded[:packed.size] = packed
-        starts = np.stack(starts).reshape(n, sched.Dmax, G)
+        starts = np.stack(starts).reshape(n, LS, G)
         fn = self._scan_fn(n, Hb, Wb, compact=not self.device_encode)
         hw = self._expander(bucket, cap)(jnp.asarray(padded))
         lx, lp = device_rans.init_lane_state(hw, jnp.asarray(starts))

@@ -36,6 +36,35 @@ def test_turbo_roundtrip_bit_exact(KS):
         np.abs(zhat_enc - zhat_dec).max()
 
 
+@pytest.mark.parametrize("lane_slots", [2, 3])
+def test_turbo_slot_merged_lanes(lane_slots):
+    """lane_slots=KS merges KS schedule slots per rans32 stream: the
+    round trip stays bit-exact, reconstructions match KS=1 exactly (the
+    decoded symbols are identical — only the stream factorization
+    changes), host and device encoders emit identical streams, and the
+    per-image overhead drops by ~KS (the point of the knob). KS=3 covers
+    the non-divisible slot-padding path."""
+    md, params = build()
+    x = rand_x(md, 2, 6, 7)
+    base = TurboCodec(md, params, G=4)
+    s_base, z_base = base.compress(x)
+    codec = TurboCodec(md, params, G=4, lane_slots=lane_slots)
+    streams, zhat_enc = codec.compress(x)
+    zhat_dec = codec.decompress(streams, 6, 7)
+    assert np.array_equal(zhat_enc, zhat_dec)
+    np.testing.assert_array_equal(np.asarray(zhat_enc),
+                                  np.asarray(z_base))
+    host = TurboCodec(md, params, G=4, lane_slots=lane_slots,
+                      device_encode=False)
+    s_host, _ = host.compress(x)
+    assert all(a == b for a, b in zip(streams, s_host))
+    # fewer lanes -> smaller streams (6 B saved per removed lane)
+    lanes_base = base.schedule(6, 7).Dmax * 4
+    lanes = codec._lane_grid(codec.schedule(6, 7))[1] * 4
+    assert lanes < lanes_base
+    assert sum(len(s) for s in streams) < sum(len(s) for s in s_base)
+
+
 def test_turbo_vs_v1_rd_equivalent():
     """Same model: turbo and v1 must produce near-identical reconstructions
     (not bitwise — different executables — but numerically equivalent)

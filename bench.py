@@ -6,12 +6,25 @@ Baseline (BASELINE.md / SURVEY.md §6): the reference takes 11.3 s encode +
 (experiments/blkbsdimgcomp_B8_KS3111_N768M96_v9/exp_117.045 logs) —
 0.0330 images/s for the enc+dec round trip.
 
+Representative measurement (round-2 fix of VERDICT "weak #3"): the model
+is briefly TRAINED (seeded, RD loss) on the in-environment natural
+corpus and the benchmark images are natural content, because the entropy
+decoder's work depends on symbol statistics — random weights on noise
+produce far more bypass/escape chunks than a trained model on images.
+The symbol statistics (escape fraction, mean |symbol|, bpp) are printed
+so the number is auditable. The codec runs the rate-faithful default
+configuration (turbo_groups=1, lane_slots=6: 8 streams/image, 0.001 bpp
+overhead — results/PERF_LOG.md).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Env: LBIC_BENCH_SMALL=1 shrinks the model for CPU smoke runs;
-LBIC_BENCH_BATCH sets images per batch (default 16; the scan is
-launch-latency bound, so batching images is nearly free throughput).
+Env knobs:
+  LBIC_BENCH_SMALL=1        shrink the model for CPU smoke runs
+  LBIC_BENCH_BATCH=N        images per batch (default 16)
+  LBIC_BENCH_TRAIN_STEPS=N  warm-training steps (default 120; 0 = random
+                            weights, the round-1 behavior)
 """
 
+import glob
 import json
 import os
 import sys
@@ -20,6 +33,85 @@ import time
 import numpy as np
 
 BASELINE_IMG_PER_S = 1.0 / (11.3 + 19.0)
+
+
+def load_corpus(md, batch, hb, wb, patch, rng):
+    """Natural training patches + natural bench images at (hb*B, wb*B),
+    from the in-environment corpus (tools/builtin_corpus.py)."""
+    from PIL import Image
+
+    from lbic_tpu.tools import builtin_corpus
+
+    root = os.environ.get("LBIC_BENCH_CORPUS", "data_corpus")
+    if not os.path.isdir(os.path.join(root, "train")):
+        builtin_corpus.build(root)
+    tr = sorted(glob.glob(os.path.join(root, "train", "*.png")))
+    te = sorted(glob.glob(os.path.join(root, "test", "*.png")))
+    H, W = hb * md.B, wb * md.B
+
+    def to_f32(a):
+        return a.astype(np.float32) / 255.0 - 0.5
+
+    patches = []
+    for p in rng.permutation(tr)[:512]:
+        with Image.open(p) as im:
+            a = np.asarray(im.convert("RGB"))
+        if a.shape[0] >= patch and a.shape[1] >= patch:
+            patches.append(to_f32(a[:patch, :patch]))
+    bench_px = []
+    for i in range(batch):
+        with Image.open(te[i % len(te)]) as im:
+            bench_px.append(np.asarray(
+                im.convert("RGB").resize((W, H), Image.LANCZOS)))
+    return np.stack(patches), np.stack(bench_px)
+
+
+def warm_train(md, params, patches, steps, batch, lam=845.325):
+    """A few hundred seeded RD-loss steps: enough to pull the latents
+    into trained-model statistics (small symbols, few escapes) without
+    pretending to be a converged model — the extent is printed."""
+    import jax
+
+    from lbic_tpu.ops.blockfold import block_fold
+    from lbic_tpu.train import step as S
+
+    state = S.init_state(md, jax.random.PRNGKey(0), 8e-4,
+                         training_loss_switch=1)
+    state = state.replace(params=params) if hasattr(state, "replace") \
+        else S.TrainState(params=params, opt_state=state.opt_state,
+                          step=state.step, use_rd=state.use_rd)
+    train = S.make_train_step(md, lam, donate=False)
+    n = patches.shape[0]
+    loss = float("nan")
+    for i in range(steps):
+        sel = (np.arange(batch) + i * batch) % n
+        x = block_fold(jax.numpy.asarray(patches[sel]), md.B)
+        state, m = train(state, x, x, jax.random.PRNGKey(i))
+        loss = float(m["loss"])
+    return state.params, loss
+
+
+def symbol_stats(codec, x, hb, wb):
+    """Escape fraction / mean |symbol| of the coded stream (the decode
+    cost drivers), from the scan's compacted symbol outputs."""
+    import jax.numpy as jnp
+
+    n = x.shape[0]
+    fn = codec._scan_fn(n, hb, wb, compact=True)
+    cap = codec._caps(n, hb, wb)
+    _, LS = codec._lane_grid(codec.schedule(hb, wb))
+    hw = jnp.zeros((cap,), jnp.uint32)
+    lx = jnp.zeros((n, LS, codec.G), jnp.uint32)
+    lp = jnp.zeros((n, LS, codec.G), jnp.int32)
+    _, ys, idx = fn(codec.params, x, hw, lx, lp, jnp.asarray(False))
+    ys = np.asarray(ys)
+    idx = np.asarray(idx).astype(np.int32)
+    t = codec.tables
+    off = np.asarray(t["offsets"])[idx]
+    maxv = np.asarray(t["cdf_lengths"])[idx] - 2
+    val = ys - off
+    esc = float(np.mean((val < 0) | (val >= maxv)))
+    return esc, float(np.mean(np.abs(ys)))
 
 
 def main():
@@ -35,6 +127,8 @@ def main():
 
     small = bool(os.environ.get("LBIC_BENCH_SMALL"))
     batch = int(os.environ.get("LBIC_BENCH_BATCH", "16"))
+    steps = int(os.environ.get("LBIC_BENCH_TRAIN_STEPS",
+                               "0" if small else "120"))
     if small:
         cfg = LbicConfig(net_version="v9", block_size=8, KS=(3, 1, 1, 1),
                          N=96, M=24)
@@ -46,19 +140,26 @@ def main():
 
     md = M.make_model_def(cfg)
     params = M.init_params(md, jax.random.PRNGKey(0))
-    codec = TurboCodec(md, params, G=8)
+    rng = np.random.default_rng(0)
+    patches, bench_px = load_corpus(md, batch, hb, wb, patch=256, rng=rng)
+    t_tr = time.time()
+    if steps:
+        params, loss = warm_train(md, params, patches, steps,
+                                  batch=4 if not small else 2)
+        print(f"# warm-trained {steps} steps (final RD loss {loss:.3f}, "
+              f"{time.time() - t_tr:.0f}s)", file=sys.stderr)
+    codec = TurboCodec(md, params, G=cfg.turbo_groups,
+                       lane_slots=cfg.turbo_lane_slots)
 
     import jax.numpy as jnp
 
-    rng = np.random.default_rng(0)
-    # 8-bit source pixels, dequantized on device (the real codec input is
-    # uint8 images; shipping floats would 4x the host->device bytes)
-    px = rng.integers(0, 256, (batch, hb, wb, md.cx), dtype=np.uint8)
+    from lbic_tpu.ops.blockfold import block_fold
 
     @jax.jit
     def to_input(u8):
-        return u8.astype(jnp.float32) / 255.0 - 0.5
+        return block_fold(u8.astype(jnp.float32) / 255.0 - 0.5, md.B)
 
+    px = bench_px.astype(np.uint8)
     # warmup: compiles the shared step functions
     xw = to_input(jnp.asarray(px))
     wsteams, _ = codec.compress(xw)
@@ -79,14 +180,19 @@ def main():
         assert bool(jnp.all(zhat_enc == zhat_dec)), "enc/dec mismatch"
         enc_s, dec_s = min(enc_s, t1 - t0), min(dec_s, t2 - t1)
     img_per_s = batch / (enc_s + dec_s)
+    bpp = sum(len(s) for s in streams) * 8 / (batch * hb * wb * md.B**2)
+    esc, mabs = symbol_stats(codec, x, hb, wb)
     print(json.dumps({
         "metric": "codec_throughput_768x512_encdec",
         "value": round(img_per_s, 4),
         "unit": "images/s",
         "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 2),
     }))
-    print(f"# enc {enc_s:.2f}s dec {dec_s:.2f}s for {batch} imgs "
-          f"({'small' if small else 'full'} model), bit-exact ok",
+    print(f"# enc {enc_s:.2f}s dec {dec_s:.2f}s for {batch} natural imgs "
+          f"({'small' if small else 'full'} model, {steps} warm-train "
+          f"steps), bit-exact ok; stream {bpp:.4f} bpp, escape frac "
+          f"{esc:.4f}, mean|sym| {mabs:.2f}; rate-faithful engine "
+          f"G={cfg.turbo_groups} lane_slots={cfg.turbo_lane_slots}",
           file=sys.stderr)
 
 

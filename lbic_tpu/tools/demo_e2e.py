@@ -66,7 +66,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--root", default="demo")
     p.add_argument("--lambdas", type=float, nargs="+",
-                   default=[117.045, 435.6675, 1625.625])
+                   default=[117.045, 1625.625, 11704.5])
+    p.add_argument("--publish", default="",
+                   help="also copy the four result artifacts into this "
+                        "directory (e.g. results/demo, which is in git)")
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--n", type=int, default=96)
     p.add_argument("--m", type=int, default=24)
@@ -125,7 +128,7 @@ def main(argv=None):
     jq = {"name": "jpeg", "description": "Pillow JPEG anchor",
           "results": {"psnr": [], "ms-ssim": [], "bpp": []}}
     from lbic_tpu.data.dataset import list_images
-    for q in (10, 25, 50, 75, 92):
+    for q in (5, 10, 25, 50, 75, 92):
         ms = [jpeg.run(ip, q) for ip in list_images(dirs["test"])]
         for k in ("psnr", "ms-ssim", "bpp"):
             jq["results"][k].append(float(np.mean([m[k] for m in ms])))
@@ -147,6 +150,13 @@ def main(argv=None):
         f.write(bd_txt)
     print(json.dumps({"ours": agg["results"], "jpeg": jq["results"],
                       "bd": r}, indent=2))
+    if args.publish:
+        import shutil
+        os.makedirs(args.publish, exist_ok=True)
+        for fn in ("lbic_demo.json", "jpeg.json", "rd.png", "bd.txt"):
+            shutil.copy2(os.path.join(res_dir, fn),
+                         os.path.join(args.publish, fn))
+        print(f"published artifacts to {args.publish}")
 
 
 if __name__ == "__main__":

@@ -124,8 +124,13 @@ def main(argv=None):
     # anchors first (CPU-cheap) so every incremental artifact below can
     # include the BD comparison
     anchors, anchor_paths = [], []
-    for name, qualities in (("jpeg", (10, 20, 35, 50, 65, 80, 90, 95)),
-                            ("webp", (5, 15, 30, 50, 70, 85, 95))):
+    # qualities start very low so the anchor curves' QUALITY range
+    # reaches below any honestly-scaled model's operating points (BD
+    # integrates over the quality overlap; a strong-anchor-only sweep
+    # can fail to overlap a small model's curve from above)
+    for name, qualities in (("jpeg", (3, 5, 10, 20, 35, 50, 65, 80, 90,
+                                      95)),
+                            ("webp", (0, 2, 5, 15, 30, 50, 70, 85, 95))):
         anchor = anchor_sweep(codecs.CODECS[name](), dirs["test"],
                               qualities)
         path = os.path.join(args.out, f"{name}.json")

@@ -128,7 +128,7 @@ def main(argv=None):
     jq = {"name": "jpeg", "description": "Pillow JPEG anchor",
           "results": {"psnr": [], "ms-ssim": [], "bpp": []}}
     from lbic_tpu.data.dataset import list_images
-    for q in (5, 10, 25, 50, 75, 92):
+    for q in (2, 3, 5, 10, 25, 50, 75, 92):
         ms = [jpeg.run(ip, q) for ip in list_images(dirs["test"])]
         for k in ("psnr", "ms-ssim", "bpp"):
             jq["results"][k].append(float(np.mean([m[k] for m in ms])))

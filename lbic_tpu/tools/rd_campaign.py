@@ -189,14 +189,29 @@ def main(argv=None):
              if len(lams) > 2 else lams)
     done = []
     failed = True
-    for lam in order:
-        res = train_and_eval_point(lam, args, dirs, args.work)
+
+    def add_point(lam, res):
         for k in RESULT_KEYS:
             agg["results"][k].append(float(np.mean(res["results"][k])))
         done.append(lam)
         print(f"lambda={lam}: bpp={agg['results']['bpp'][-1]:.4f} "
               f"psnr={agg['results']['psnr'][-1]:.2f}", flush=True)
-        failed = publish()
+        return publish()
+
+    # pre-publish every already-finished point (a restarted campaign
+    # leaves a usable artifact before any new training starts)
+    pending = []
+    for lam in order:
+        marker = os.path.join(args.work, f"exp_{lam}", "out",
+                              "results.json")
+        if args.resume and os.path.isfile(marker):
+            with open(marker) as f:
+                failed = add_point(lam, json.load(f))
+        else:
+            pending.append(lam)
+    for lam in pending:
+        failed = add_point(lam, train_and_eval_point(
+            lam, args, dirs, args.work))
     return 1 if failed else 0
 
 

@@ -17,11 +17,22 @@ def _interp(x, y):
             else PchipInterpolator(x, y))
 
 
+def _dedup(x, y):
+    """Collapse duplicate x values (e.g. Pillow clamps very low JPEG
+    qualities to the same file) — interpolators need strictly
+    increasing abscissae."""
+    ux, inv = np.unique(x, return_inverse=True)
+    uy = np.zeros_like(ux)
+    np.add.at(uy, inv, y)
+    uy /= np.bincount(inv)
+    return ux, uy
+
+
 def _prep(rate, dist):
     r = np.log10(np.asarray(rate, dtype=np.float64))
     d = np.asarray(dist, dtype=np.float64)
-    order = np.argsort(d)
-    return r[order], d[order]
+    d, r = _dedup(d, r)
+    return r, d
 
 
 def bd_rate(rate_anchor, dist_anchor, rate_test, dist_test) -> float:
@@ -46,10 +57,10 @@ def bd_psnr(rate_anchor, dist_anchor, rate_test, dist_test) -> float:
     ra, da = _prep(rate_anchor, dist_anchor)
     rt, dt = _prep(rate_test, dist_test)
     # swap axes: interpolate dist as a function of log-rate
-    oa = np.argsort(ra)
-    ot = np.argsort(rt)
-    fa = _interp(ra[oa], da[oa])
-    ft = _interp(rt[ot], dt[ot])
+    ra, da = _dedup(ra, da)
+    rt, dt = _dedup(rt, dt)
+    fa = _interp(ra, da)
+    ft = _interp(rt, dt)
     lo = max(ra.min(), rt.min())
     hi = min(ra.max(), rt.max())
     if hi <= lo:

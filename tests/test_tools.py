@@ -116,3 +116,51 @@ def test_gated_codecs_registry():
         if not CODECS[name].available():
             with pytest.raises(SystemExit):
                 bench(name, ".", [30])
+
+
+def test_bd_duplicate_anchor_points():
+    """Pillow clamps very low JPEG qualities to identical files; BD must
+    collapse the duplicate points instead of failing (bd._dedup)."""
+    anchor = {"results": {"bpp": [0.22, 0.22, 0.5, 1.0, 2.0],
+                          "psnr": [22.5, 22.5, 29.0, 32.0, 34.0]}}
+    ours = {"results": {"bpp": [0.1, 0.4, 0.9], "psnr": [24.0, 28.0, 33.0]}}
+    r = bd_from_results(anchor, ours)
+    assert math.isfinite(r["bd_rate_pct"])
+    assert math.isfinite(r["bd_psnr_db"])
+    assert r["bd_rate_pct"] < 0  # ours dominates this anchor
+
+
+def test_rd_campaign_prepublish(imgdir, tmp_path, monkeypatch):
+    """A restarted campaign publishes lbic.json / bd.txt / rd.png from
+    the already-finished lambda points BEFORE training anything (the
+    resilience contract of tools/rd_campaign.py)."""
+    from lbic_tpu.tools import rd_campaign
+
+    corpus = tmp_path / "corpus"
+    for split in ("train", "valid"):
+        (corpus / split).mkdir(parents=True)
+    (corpus / "test").mkdir()
+    for p in imgdir.glob("*.png"):
+        (corpus / "test" / p.name).write_bytes(p.read_bytes())
+
+    work = tmp_path / "work"
+    points = {117.0: (0.15, 26.0), 3000.0: (1.2, 38.0)}
+    for lam, (bpp, psnr) in points.items():
+        d = work / f"exp_{lam}" / "out"
+        d.mkdir(parents=True)
+        res = {"name": "x", "results": {
+            "psnr": [psnr], "ms-ssim": [0.9], "ms-ssimdb": [10.0],
+            "bpp": [bpp], "encoding_time": [0.1], "decoding_time": [0.1]}}
+        (d / "results.json").write_text(json.dumps(res))
+
+    out = tmp_path / "out"
+    rc = rd_campaign.main([
+        "--corpus", str(corpus), "--out", str(out), "--work", str(work),
+        "--lambdas", "117.0", "3000.0"])
+    assert rc == 0, (out / "bd.txt").read_text()
+    bd_txt = (out / "bd.txt").read_text()
+    assert "BD-rate" in bd_txt and "failed" not in bd_txt
+    ours = json.loads((out / "lbic.json").read_text())["results"]
+    assert ours["bpp"] == sorted(ours["bpp"])
+    assert (out / "rd.png").is_file()
+    assert (out / "jpeg.json").is_file() and (out / "webp.json").is_file()

@@ -44,14 +44,19 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     out = {}
-    for name, kw in CFGS.items():
+    # two engine configurations per model config: speed-max (G=8, one
+    # slot per stream) and the rate-faithful default (G=1, 6 slots per
+    # stream, ~0.001 bpp overhead) — results/PERF_LOG.md has the sweep
+    for eng, (Gw, KSw) in (("speed", (8, 1)), ("faithful", (1, 6))):
+      for name, kw in CFGS.items():
+        name = f"{name}_{eng}"
         cfg = LbicConfig(net_version="v9", **kw)
         md = M.make_model_def(cfg)
         B = kw["block_size"]
         hb, wb = 512 // B, 768 // B  # one Kodak-sized image
-        G = 8 if md.M % 8 == 0 else 4
+        G = Gw if md.M % Gw == 0 else 4
         params = M.init_params(md, jax.random.PRNGKey(0))
-        codec = TurboCodec(md, params, G=G)
+        codec = TurboCodec(md, params, G=G, lane_slots=KSw)
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.random((batch, hb, wb, md.cx),
                                    np.float32) - 0.5)
@@ -69,14 +74,18 @@ def main():
             t2 = time.time()
             assert bool(jnp.all(zh == zd)), name
             enc_s, dec_s = min(enc_s, t1 - t0), min(dec_s, t2 - t1)
-        re, rd = REF[name]
+        re, rd = REF[name.rsplit("_", 1)[0]]
         row = {
             "enc_s_per_img": round(enc_s / batch, 4),
             "dec_s_per_img": round(dec_s / batch, 4),
             "ref_enc_s": re, "ref_dec_s": rd,
             "speedup_encdec": round(
                 (re + rd) / ((enc_s + dec_s) / batch), 1),
-            "batch": batch, "G": G, "bit_exact": True,
+            "batch": batch, "G": G, "lane_slots": KSw,
+            "overhead_bpp": round(
+                (codec._lane_grid(codec.schedule(hb, wb))[1] * G * 6 + 2)
+                * 8 / (512 * 768), 5),
+            "bit_exact": True,
         }
         out[name] = row
         print(name, row, flush=True)

@@ -56,6 +56,7 @@ from lbic_tpu.train import (
     set_lr,
 )
 from lbic_tpu.train.step import TrainState, make_optimizer
+from lbic_tpu.utils.loggers import RDLogger
 
 
 class BlockBasedImgCompLossyAgent:
@@ -84,6 +85,28 @@ class BlockBasedImgCompLossyAgent:
         self.best_validrr_loss = float("inf")
         self.prev_aclitr_best_valid_loss = float("inf")
         self.prev_aclitr_best_validrr_loss = float("inf")
+
+        # six checkpointable RD meters, mirroring the reference's logger
+        # set (blkbsdimgcomp_agent.py:71-83; base.py:131-152 checkpoints
+        # them so epoch statistics survive resume). train0/trnit0 track
+        # open-loop epochs, train1/trnit1 chained-loss epochs (the
+        # reference's pair tracks the two losses of forward2/forward3);
+        # valid0 = open-loop validation, rcrec = closed-loop validation.
+        self.loggers = {
+            "train0": RDLogger("train", cfg.distortion),
+            "train1": RDLogger("train-ch", cfg.distortion),
+            "trnit0": RDLogger("trnit", cfg.distortion),
+            "trnit1": RDLogger("trnit-ch", cfg.distortion),
+            "valid0": RDLogger("valid", cfg.distortion, dist_is_psnr=True),
+            "rcrec": RDLogger("validrr", cfg.distortion,
+                              dist_is_psnr=True),
+        }
+        # per-ACL-iteration (best_valid, best_validrr) history — the
+        # open<->closed-loop gap instrumentation; dumped to
+        # out_dir/acl_history.json after every iteration
+        self.acl_history = []
+        self.last_valid_stats = None
+        self.last_validrr_stats = None
 
         self._train_step = None
         self._train_step_chained = None
@@ -222,6 +245,10 @@ class BlockBasedImgCompLossyAgent:
                 self.prev_aclitr_best_validrr_loss,
             "plateau": self.plateau.state_dict(),
             "pp_params": self.pp_params,
+            # reference checkpoints six logger states (base.py:144-149)
+            "loggers": {k: lg.state_dict()
+                        for k, lg in self.loggers.items()},
+            "acl_history": self.acl_history,
         }
         ckpt.save(os.path.join(d, filename + ".pkl"), payload)
         if is_best and acl_itr is not None:
@@ -262,6 +289,10 @@ class BlockBasedImgCompLossyAgent:
             self.prev_aclitr_best_validrr_loss = \
                 payload["prev_aclitr_best_validrr_loss"]
             self.plateau.load_state_dict(payload["plateau"])
+            for k, d in payload.get("loggers", {}).items():
+                if k in self.loggers:
+                    self.loggers[k].load_state_dict(d)
+            self.acl_history = payload.get("acl_history", [])
         self._codec = None
         self.log.info("loaded checkpoint %s (weights_only=%s)", path,
                       weights_only)
@@ -326,9 +357,8 @@ class BlockBasedImgCompLossyAgent:
 
     def train_one_epoch(self, train_loader):
         step = self.train_step_fn()
-        t0 = time.time()
-        sums = np.zeros(3)
-        n = 0
+        lg = self.loggers["train1" if self.chained else "train0"]
+        lgit = self.loggers["trnit1" if self.chained else "trnit0"]
         for x, z in train_loader:
             xb = self._fold(x)
             zb = self._fold(z)
@@ -336,8 +366,13 @@ class BlockBasedImgCompLossyAgent:
             self.state, m = step(self.state, xb, zb, self._next_key())
             self.current_iteration += 1
             loss = float(m["loss"])
-            sums += (loss, float(m["distortion"]), float(m["rate"]))
-            n += 1
+            dist, rate = float(m["distortion"]), float(m["rate"])
+            lg.update(loss, dist, rate)
+            lgit.update(loss, dist, rate)
+            # interval report every loss_prnt_iters (agent:262-266)
+            if self.cfg.loss_prnt_iters and not (
+                    self.current_iteration % self.cfg.loss_prnt_iters):
+                lgit.epoch(self.current_epoch)
             # loss switch: D-only -> R+lambda*D (agent:297-302)
             if (not bool(self.state.use_rd)) and \
                     loss < self.cfg.loss_switch_thr:
@@ -347,29 +382,25 @@ class BlockBasedImgCompLossyAgent:
                     opt_state=self.state.opt_state,
                     step=self.state.step,
                     use_rd=jnp.asarray(True))
-        avg = sums / max(n, 1)
-        self.log.info(
-            "[train] epoch %d: loss=%.6f dist=%.6f bpp=%.5f lr=%.2e (%.1fs)",
-            self.current_epoch, avg[0], avg[1], avg[2],
-            get_lr(self.state), time.time() - t0)
-        return avg[0]
+        avg_loss = lg.meter.avg[0]
+        lg.epoch(self.current_epoch, lr=get_lr(self.state))
+        return avg_loss
 
     def validate(self, valid_loader):
         """Open-loop validation (agent:349-401). The scalar tracked —
         and fed to the plateau scheduler + ACL convergence counters — is
         the reference's valid_loss = TrainRDLoss(x, clamp(xhat), info)
         = rate + lambda*D (blkbsdimgcomp_agent.py:70,393-397)."""
-        sums = np.zeros(3)
-        n = 0
+        lg = self.loggers["valid0"]
         for x, z in valid_loader:
             xb = self._fold(x)
             zb = self._fold(z)
             r = self._eval_step(self.state.params, xb, zb)
-            sums += (float(r["loss"]), float(r["psnr"]), float(r["rate"]))
-            n += 1
-        loss, psnr, rate = sums / max(n, 1)
-        self.log.info("[valid] epoch %d: rd=%.6f psnr=%.4f bpp=%.5f",
-                      self.current_epoch, loss, psnr, rate)
+            lg.update(float(r["loss"]), float(r["psnr"]),
+                      float(r["rate"]))
+        loss, psnr, rate = lg.meter.avg
+        self.last_valid_stats = {"loss": loss, "psnr": psnr, "bpp": rate}
+        lg.epoch(self.current_epoch)
         return loss
 
     def _cl_scan_fn(self, shape, per_block=False, quant8=False):
@@ -405,7 +436,7 @@ class BlockBasedImgCompLossyAgent:
             quant8 = bool(self.cfg.recu_reco_quant8)
         dump = bool(self.cfg.save_blkbsd_rdcosts and self.cfg.out_dir)
         rdcost_maps, orig_imgs = [], []
-        sums = np.zeros(3)
+        lg = self.loggers["rcrec"]
         n = 0
         img_base = 0
         for x, z in valid_loader:
@@ -425,15 +456,16 @@ class BlockBasedImgCompLossyAgent:
             mse = float(jnp.mean(jnp.square(xb - zhat)))
             p = float(metrics.psnr(xb, zhat))
             score = bpp + self.lambda_ * mse
-            sums += (score, p, bpp)
+            lg.update(score, p, bpp)
             if save_imgs:
                 self._save_valid_reco_img(valid_loader.ds, img_base, zhat,
                                           x.shape[1], x.shape[2])
             img_base += x.shape[0]
             n += 1
-        loss, psnr, rate = sums / max(n, 1)
-        self.log.info("[validrr] epoch %d: rd=%.6f psnr=%.4f bpp=%.5f",
-                      self.current_epoch, loss, psnr, rate)
+        loss, psnr, rate = lg.meter.avg
+        self.last_validrr_stats = {"loss": loss, "psnr": psnr,
+                                   "bpp": rate}
+        lg.epoch(self.current_epoch)
         if dump and rdcost_maps:
             # npz counterpart of the reference's torch.save dumps
             # (list_rdcost_tensors_per_blk_B{B}_{lambda}.pt, agent:470-475)
@@ -546,6 +578,24 @@ class BlockBasedImgCompLossyAgent:
             change_mode = self._run_dl_until_converged(train, valid)
             self.log.info("best ol=%.6f cl=%.6f", self.best_valid_loss,
                           self.best_validrr_loss)
+            # open<->closed-loop gap instrumentation (VERDICT r2 #3):
+            # one row per ACL iteration, dumped after every iteration so
+            # an interrupted campaign still leaves the table
+            self.acl_history.append({
+                "acl_itr": self.acl_itr,
+                "epoch": self.current_epoch,
+                "mode": self.convergence_mode,
+                "chained": self.chained,
+                "lr": float(get_lr(self.state)),
+                "best_valid_loss": float(self.best_valid_loss),
+                "best_validrr_loss": float(self.best_validrr_loss),
+                "last_valid": self.last_valid_stats,
+                "last_validrr": self.last_validrr_stats,
+            })
+            if self.cfg.out_dir and dist.is_main():
+                with open(os.path.join(self.cfg.out_dir,
+                                       "acl_history.json"), "w") as f:
+                    json.dump(self.acl_history, f, indent=2)
             # load this itr's best model as next init (agent:190-205)
             d = cfg.checkpoint_dir or "."
             if self.convergence_mode == "ol_loss" and not change_mode:

@@ -50,9 +50,18 @@ def _ssim_per_channel(x, y, data_range, win_size, sigma, k1, k2):
     c2 = (k2 * data_range) ** 2
     mu_x = _blur(x, win)
     mu_y = _blur(y, win)
-    sxx = _blur(x * x, win) - mu_x * mu_x
-    syy = _blur(y * y, win) - mu_y * mu_y
+    # E[x^2]-mu^2 can dip below 0 under fp error on near-flat patches,
+    # which pushed cs (and thus ms_ssim) above 1.0 and poisoned eval
+    # averages (round-2 campaign logged `MS-SSIM/dB:1.023294/120.00`).
+    # pytorch_msssim (the reference's metric source, rate_dist.py:10) is
+    # robust here; clamp the variances at 0 and bound |sxy| by
+    # sqrt(sxx*syy) (Cauchy-Schwarz) so 2*sxy+c2 <= sxx+syy+c2 (AM-GM)
+    # and cs <= 1 exactly.
+    sxx = jnp.maximum(_blur(x * x, win) - mu_x * mu_x, 0.0)
+    syy = jnp.maximum(_blur(y * y, win) - mu_y * mu_y, 0.0)
     sxy = _blur(x * y, win) - mu_x * mu_y
+    bound = jnp.sqrt(sxx * syy)
+    sxy = jnp.clip(sxy, -bound, bound)
     cs = (2 * sxy + c2) / (sxx + syy + c2)
     ssim_map = ((2 * mu_x * mu_y + c1) / (mu_x * mu_x + mu_y * mu_y + c1)) * cs
     # mean over spatial dims and channels, per batch element
@@ -110,5 +119,6 @@ def ms_ssim(x, y, data_range=1.0, win_size=11, sigma=1.5,
 
 def msssim_db(v):
     """-10*log10(1 - ms_ssim), the dB form used in the reference's results
-    JSONs (utils/results_files/kodak/lbic8x8_mse.json 'ms-ssimdb')."""
-    return -10.0 * jnp.log10(1.0 - v)
+    JSONs (utils/results_files/kodak/lbic8x8_mse.json 'ms-ssimdb').
+    Clamped so v == 1.0 (identical images) stays finite (120 dB cap)."""
+    return -10.0 * jnp.log10(jnp.maximum(1.0 - v, 1e-12))

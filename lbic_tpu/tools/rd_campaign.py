@@ -25,6 +25,7 @@ import argparse
 import glob
 import json
 import os
+import re
 
 import numpy as np
 
@@ -32,9 +33,23 @@ RESULT_KEYS = ("psnr", "ms-ssim", "ms-ssimdb", "bpp", "encoding_time",
                "decoding_time")
 
 
+def _best_rr_checkpoint(checkpoint_dir):
+    """The best-rr snapshot with the HIGHEST ACL iteration — since
+    best_validrr_loss is global across iterations (agent.py), the
+    highest-numbered rr file holds the overall best closed-loop model.
+    Sorted numerically: a lexical sort returns `_9rr` over `_10rr`."""
+    bests = glob.glob(os.path.join(checkpoint_dir,
+                                   "model_best_acl_*rr.pkl"))
+    if not bests:
+        return "model_best_acl_0"
+    key = lambda p: int(re.search(r"_(\d+)rr\.pkl$", p).group(1))
+    return max(bests, key=key).replace(".pkl", "")
+
+
 def train_and_eval_point(lam, args, dirs, exp_root):
     from lbic_tpu.agent import BlockBasedImgCompLossyAgent as Agent
     from lbic_tpu.config import LbicConfig, process_config
+    from lbic_tpu.data.dataset import BatchLoader, ImageDatasetACL
     from lbic_tpu.utils.loggers import setup_logging
 
     base = dict(
@@ -45,8 +60,8 @@ def train_and_eval_point(lam, args, dirs, exp_root):
         max_acl_itr=args.acl_itrs, max_epochs_per_acl=args.epochs_per_acl,
         validate_every=1, validate_recu_reco_every=3,
         acl_bool=True, training_loss_switch=1,
-        chained_training=args.chained,
-        cnt_no_improvement_valid_thresholds=(2, 2, 1, 1),
+        chained_training=args.chained, session=args.session,
+        cnt_no_improvement_valid_thresholds=tuple(args.patience),
         acl_itr0_rdloss_threshold=0.0,  # itr 0 exits via the epoch cap
         num_train_dirs=1, train_data_1=dirs["train"],
         valid_data=dirs["valid"], test_data=dirs["test"], seed=0,
@@ -61,17 +76,41 @@ def train_and_eval_point(lam, args, dirs, exp_root):
         if args.resume and os.path.isfile(ck):
             cfg.resume_training = True
         agent = Agent(cfg)
+        if args.init_from and not cfg.resume_training:
+            # warm start: weights only, fresh optimizer/ACL state (the
+            # round-2 checkpoints are compatible-scale models trained at
+            # the wrong lr; fine-tuning them at the reference lr is far
+            # cheaper than from-scratch)
+            path = args.init_from.format(lam=lam)
+            if os.path.isfile(path):
+                agent.load_checkpoint(path, weights_only=True)
+            else:
+                print(f"init-from {path} not found — cold start",
+                      flush=True)
         agent.run()
-        # eval with the best closed-loop snapshot of the last ACL itr
-        bests = sorted(glob.glob(os.path.join(
-            cfg.checkpoint_dir, "model_best_acl_*rr.pkl")))
-        best = (bests[-1] if bests else "model_best_acl_0").replace(
-            ".pkl", "")
+        # eval with the overall best closed-loop snapshot
+        best = _best_rr_checkpoint(cfg.checkpoint_dir)
         cfg2 = process_config(LbicConfig(**base, mode="eval_model"),
                               root=exp_root)
         cfg2.modelbest_file_load = os.path.basename(best)
         agent2 = Agent(cfg2)
         agent2.eval_model()
+        # eval<->validrr consistency probe (VERDICT r2 #3): the codec
+        # commits clamped floats, exactly like the quant8=False scan, so
+        # closed-loop validation ON THE TEST SET with the same snapshot
+        # must land within ~0.5 dB of the codec eval (the remaining gap
+        # is only block padding included in the scan's PSNR).
+        ds = ImageDatasetACL([dirs["test"]], patch_size=0, augment=False)
+        loader = BatchLoader(ds, 1, shuffle=False, drop_last=False)
+        agent2.validate_recu_reco(loader, quant8=False)
+        probe = dict(agent2.last_validrr_stats or {})
+        hist_path = os.path.join(cfg.out_dir, "acl_history.json")
+        report = {"lambda": lam, "eval_checkpoint": os.path.basename(best),
+                  "validrr_test": probe,
+                  "acl_history": (json.load(open(hist_path))
+                                  if os.path.isfile(hist_path) else [])}
+        with open(os.path.join(cfg.out_dir, "acl_report.json"), "w") as f:
+            json.dump(report, f, indent=2)
     with open(done_marker) as f:
         return json.load(f)
 
@@ -100,9 +139,22 @@ def main(argv=None):
     ap.add_argument("--m", type=int, default=48)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--patch", type=int, default=256)
-    ap.add_argument("--lr", type=float, default=8e-4)
-    ap.add_argument("--acl-itrs", type=int, default=4)
-    ap.add_argument("--epochs-per-acl", type=int, default=6)
+    ap.add_argument("--lr", type=float, default=8e-5,
+                    help="the reference's learning rate (configs/"
+                         "blkbsdimgcomp_B8_lowrate.json:25 = 0.8e-4); "
+                         "round 2 ran at 8e-4 and oscillated")
+    ap.add_argument("--acl-itrs", type=int, default=5)
+    ap.add_argument("--epochs-per-acl", type=int, default=14)
+    ap.add_argument("--patience", type=int, nargs="+",
+                    default=[4, 4, 3, 3, 2],
+                    help="cnt_no_improvement_valid_thresholds, a "
+                         "budget-scaled version of the reference's "
+                         "[8,8,7,6,5,5]")
+    ap.add_argument("--session", default="A")
+    ap.add_argument("--init-from", default="",
+                    help="warm-start checkpoint path template with {lam}, "
+                         "e.g. rd_work/exp_{lam}/checkpoints/"
+                         "model_best_acl_2rr.pkl; loaded weights-only")
     ap.add_argument("--chained", action="store_true",
                     help="chained training from the start (the reference "
                          "enables it when closed-loop improvement stalls, "
@@ -182,6 +234,36 @@ def main(argv=None):
         print("\n".join(bd_txt), flush=True)
         return failed
 
+    def publish_acl_report():
+        """Combined per-lambda ACL table: validrr loss per iteration and
+        the eval<->validrr(test) agreement (VERDICT r2 #3)."""
+        lines = ["lambda    itr  mode     chained  best_valid  "
+                 "best_validrr  validrr_psnr"]
+        tail = []
+        for lam in sorted(done):
+            p = os.path.join(args.work, f"exp_{lam}", "out",
+                             "acl_report.json")
+            if not os.path.isfile(p):
+                continue
+            with open(p) as f:
+                rep = json.load(f)
+            for h in rep.get("acl_history", []):
+                rr = (h.get("last_validrr") or {})
+                lines.append(
+                    f"{lam:<9g} {h['acl_itr']:>3}  {h['mode']:<8} "
+                    f"{str(h['chained']):<7}  {h['best_valid_loss']:>10.6f} "
+                    f" {h['best_validrr_loss']:>12.6f} "
+                    f" {rr.get('psnr', float('nan')):>11.4f}")
+            pr = rep.get("validrr_test") or {}
+            ev_psnr = agg["results"]["psnr"][done.index(lam)]
+            tail.append(
+                f"lambda={lam}: eval_psnr={ev_psnr:.2f} "
+                f"validrr_test_psnr={pr.get('psnr', float('nan')):.2f} "
+                f"validrr_test_bpp={pr.get('bpp', float('nan')):.4f} "
+                f"(ckpt {rep.get('eval_checkpoint')})")
+        with open(os.path.join(args.out, "acl_report.txt"), "w") as f:
+            f.write("\n".join(lines + [""] + tail) + "\n")
+
     # rate-range extremes first: any prefix >= 2 points already spans the
     # final curve's rate range, so BD overlap is established early
     lams = sorted(args.lambdas)
@@ -196,7 +278,9 @@ def main(argv=None):
         done.append(lam)
         print(f"lambda={lam}: bpp={agg['results']['bpp'][-1]:.4f} "
               f"psnr={agg['results']['psnr'][-1]:.2f}", flush=True)
-        return publish()
+        r = publish()
+        publish_acl_report()
+        return r
 
     # pre-publish every already-finished point (a restarted campaign
     # leaves a usable artifact before any new training starts)

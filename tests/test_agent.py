@@ -87,6 +87,31 @@ def test_checkpoint_roundtrip(tiny_exp):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_logger_state_survives_resume(tiny_exp):
+    """The reference checkpoints six RDLogger states so epoch statistics
+    survive resume (base.py:131-152); ours must round-trip meter state
+    and the per-ACL history too."""
+    cfg, _, _ = tiny_exp
+    agent = BlockBasedImgCompLossyAgent(cfg)
+    agent.loggers["train0"].update(1.5, 0.01, 0.3, n=4)
+    agent.loggers["valid0"].update(2.5, 30.0, 0.2, n=2)
+    agent.acl_history.append({"acl_itr": 0, "best_valid_loss": 2.5})
+    agent.save_checkpoint()
+    path = os.path.join(cfg.checkpoint_dir, "checkpoint.pkl")
+    agent2 = BlockBasedImgCompLossyAgent(cfg)
+    agent2.load_checkpoint(path)
+    assert agent2.loggers["train0"].meter.state_dict() == \
+        agent.loggers["train0"].meter.state_dict()
+    assert agent2.loggers["train0"].meter.count == 4
+    assert agent2.loggers["valid0"].meter.avg[1] == 30.0
+    assert agent2.acl_history == agent.acl_history
+    # weights-only loads must NOT clobber live meters
+    agent2.loggers["train0"].update(9.9, 9.9, 9.9)
+    c = agent2.loggers["train0"].meter.count
+    agent2.load_checkpoint(path, weights_only=True)
+    assert agent2.loggers["train0"].meter.count == c
+
+
 def test_model_size_and_flops(tiny_exp):
     cfg, _, _ = tiny_exp
     agent = BlockBasedImgCompLossyAgent(cfg)

@@ -64,3 +64,27 @@ def test_ms_ssim_identity_and_ordering(rng):
 
 def test_msssim_db():
     assert np.isclose(float(metrics.msssim_db(0.99)), 20.0, atol=1e-6)
+    assert np.isfinite(float(metrics.msssim_db(1.0)))
+
+
+def test_ms_ssim_flat_image_not_above_one():
+    """Regression: on near-flat patches E[x^2]-mu^2 goes negative under
+    fp error, which used to push cs > 1 and ms_ssim > 1 (round-2 campaign
+    logged MS-SSIM 1.023294 on style_04_wall_green_d.png)."""
+    # exactly flat, slightly different levels
+    x = jnp.full((1, 256, 256, 3), 0.5, jnp.float32)
+    y = jnp.full((1, 256, 256, 3), 0.5 + 1e-3, jnp.float32)
+    for a, b in ((x, x), (x, y)):
+        v = float(metrics.ms_ssim(a, b))
+        assert 0.0 <= v <= 1.0, v
+        assert np.isfinite(float(metrics.msssim_db(v)))
+    # flat + tiny additive noise (the failing real-world shape)
+    r = np.random.default_rng(0)
+    n = jnp.asarray(
+        0.5 + 2e-3 * r.standard_normal((1, 192, 192, 3)), jnp.float32)
+    m = jnp.asarray(
+        0.5 + 2e-3 * r.standard_normal((1, 192, 192, 3)), jnp.float32)
+    v = float(metrics.ms_ssim(n, m))
+    assert 0.0 <= v <= 1.0, v
+    v = float(metrics.ssim(n, m))
+    assert 0.0 <= v <= 1.0, v

@@ -60,11 +60,18 @@ class ImageDatasetACL:
 
     def __init__(self, roots: Sequence[str], session: str = "A",
                  acl_itr: int = 0, patch_size: int = 0, augment: bool = True,
-                 zhat_ext: Optional[str] = None):
+                 zhat_ext: Optional[str] = None, cache: bool = True):
         """zhat_ext: explicit sibling-dir suffix for the zhat pairs (the
         reference's zhat_fldr_ext, image_dl_ACL.py:83-86 — e.g.
-        '__recurecos_<lambda>' when training the post-proc net)."""
+        '__recurecos_<lambda>' when training the post-proc net).
+
+        cache: keep decoded images in RAM as uint8 (a 256x256 patch
+        corpus is a few hundred MB; PNG decode dominated epoch time
+        otherwise). The cache is per-instance, and loaders are rebuilt
+        every ACL iteration, so regenerated recon dirs are never served
+        stale."""
         self.roots = [r for r in roots if r]
+        self._cache: Optional[dict] = {} if cache else None
         self.session = session
         self.acl_itr = acl_itr
         self.patch_size = patch_size
@@ -91,9 +98,29 @@ class ImageDatasetACL:
     def __len__(self):
         return len(self.files)
 
+    def _load_pair(self, i: int):
+        if self._cache is None:
+            x = load_image(self.files[i])
+            z = x if self.zfiles[i] == self.files[i] \
+                else load_image(self.zfiles[i])
+            return x, z
+        hit = self._cache.get(i)
+        if hit is None:
+            with Image.open(self.files[i]) as im:
+                xu = np.asarray(im.convert("RGB"), dtype=np.uint8)
+            if self.zfiles[i] == self.files[i]:
+                zu = None
+            else:
+                with Image.open(self.zfiles[i]) as im:
+                    zu = np.asarray(im.convert("RGB"), dtype=np.uint8)
+            hit = self._cache[i] = (xu, zu)
+        xu, zu = hit
+        x = xu.astype(np.float32) / 255.0 - 0.5
+        z = x if zu is None else zu.astype(np.float32) / 255.0 - 0.5
+        return x, z
+
     def get(self, i: int, rng: Optional[np.random.Generator] = None):
-        x = load_image(self.files[i])
-        z = x if self.zfiles[i] == self.files[i] else load_image(self.zfiles[i])
+        x, z = self._load_pair(i)
         assert x.shape == z.shape, (self.files[i], x.shape, z.shape)
         ps = self.patch_size
         if ps and rng is not None:

@@ -774,6 +774,15 @@ class BlockBasedImgCompLossyAgent:
 
     # ------------------------------- codec -------------------------------
 
+    def _msssim_fn(self, shape):
+        """Jitted ms_ssim per image shape: one compiled program instead
+        of ~50 per-op dispatches (each a slow remote compile over the
+        axon tunnel when the persistent cache is cold)."""
+        key = ("msssim", shape)
+        if key not in self._cl_scan:
+            self._cl_scan[key] = jax.jit(metrics.ms_ssim)
+        return self._cl_scan[key]
+
     def update_model(self):
         """Build quantized CDF tables + save (agent:551-558)."""
         self._codec = wf.WavefrontCodec(self.md, self.state.params)
@@ -819,7 +828,7 @@ class BlockBasedImgCompLossyAgent:
             xd = jnp.asarray(x)
             mse = float(jnp.mean((rec_dev - xd) ** 2))
             psnr = -10 * math.log10(max(mse, 1e-12))
-            mss = float(metrics.ms_ssim(
+            mss = float(self._msssim_fn(xd.shape)(
                 xd[None] + 0.5, rec_dev[None] + 0.5))
             mssdb = -10 * math.log10(max(1 - mss, 1e-12))
             my_rows.append((int(i), {

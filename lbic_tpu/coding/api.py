@@ -51,6 +51,22 @@ def _try_load():
         lib.lbic_pmf_to_quantized_cdf.argtypes = [
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
         ]
+        lib.lbic_rc_encode.restype = ctypes.c_int64
+        lib.lbic_rc_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib.lbic_rc_decoder_new.restype = ctypes.c_void_p
+        lib.lbic_rc_decoder_new.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+        lib.lbic_rc_decoder_free.argtypes = [ctypes.c_void_p]
+        lib.lbic_rc_decode_stream.restype = ctypes.c_int32
+        lib.lbic_rc_decode_stream.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.lbic_rans32_encode_interleaved.restype = ctypes.c_int64
         lib.lbic_rans32_encode_interleaved.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -166,6 +182,128 @@ class BufferedRansEncoder:
                    if self._indexes else np.zeros(0, np.int32))
         self._symbols, self._indexes = [], []
         return encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets)
+
+
+def rc_encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets):
+    """Range-coder batch encode -> bytes (the alternative backend,
+    entropy_layers_cai.py:38-42; same CDF/escape semantics as rANS,
+    FIFO symbol order)."""
+    symbols = _as_i32(symbols).ravel()
+    indexes = _as_i32(indexes).ravel()
+    cdfs = _as_i32(cdfs)
+    cdf_lengths = _as_i32(cdf_lengths).ravel()
+    offsets = _as_i32(offsets).ravel()
+    assert symbols.shape == indexes.shape
+    lib = _try_load()
+    if lib is None:
+        from lbic_tpu.coding import range_coder_py as rcp
+
+        return rcp.encode_with_indexes_py(
+            symbols, indexes, cdfs, cdf_lengths, offsets)
+    n = symbols.size
+    cap = 8 + 8 * n + 1024
+    out = np.zeros(cap, dtype=np.uint8)
+    nbytes = lib.lbic_rc_encode(
+        symbols.ctypes.data, indexes.ctypes.data, np.int64(n),
+        cdfs.ctypes.data, np.int32(cdfs.shape[0]), np.int32(cdfs.shape[1]),
+        cdf_lengths.ctypes.data, offsets.ctypes.data,
+        out.ctypes.data, np.int64(cap))
+    if nbytes < 0:
+        raise ValueError(f"range-coder encode failed: {nbytes}")
+    return out[:nbytes].tobytes()
+
+
+class BufferedRangeEncoder:
+    """Range-coder twin of BufferedRansEncoder (same call pattern)."""
+
+    def __init__(self):
+        self._symbols = []
+        self._indexes = []
+
+    def encode_with_indexes(self, symbols, indexes, *args):
+        self._symbols.append(_as_i32(symbols).ravel())
+        self._indexes.append(_as_i32(indexes).ravel())
+
+    def flush(self, cdfs, cdf_lengths, offsets):
+        symbols = (np.concatenate(self._symbols)
+                   if self._symbols else np.zeros(0, np.int32))
+        indexes = (np.concatenate(self._indexes)
+                   if self._indexes else np.zeros(0, np.int32))
+        self._symbols, self._indexes = [], []
+        return rc_encode_with_indexes(symbols, indexes, cdfs, cdf_lengths,
+                                      offsets)
+
+
+class RangeDecoder:
+    """Range-coder twin of RansDecoder: set_stream once, then
+    decode_stream per chunk."""
+
+    def __init__(self):
+        self._cpp = None
+        self._py = None
+        self._lib = _try_load()
+
+    def set_stream(self, stream: bytes):
+        self.close()
+        if self._lib is not None:
+            buf = np.ascontiguousarray(np.frombuffer(stream,
+                                                     dtype=np.uint8))
+            self._buf = buf  # keep alive
+            self._cpp = self._lib.lbic_rc_decoder_new(
+                buf.ctypes.data, np.int64(buf.size))
+            if not self._cpp:
+                raise ValueError("invalid range-coder stream")
+        else:
+            from lbic_tpu.coding import range_coder_py as rcp
+
+            self._py = rcp.RangeDecoderPy(stream)
+
+    def decode_stream(self, indexes, cdfs, cdf_lengths, offsets):
+        indexes = _as_i32(indexes).ravel()
+        cdfs = _as_i32(cdfs)
+        cdf_lengths = _as_i32(cdf_lengths).ravel()
+        offsets = _as_i32(offsets).ravel()
+        if self._cpp:
+            out = np.zeros(indexes.size, dtype=np.int32)
+            rv = self._lib.lbic_rc_decode_stream(
+                ctypes.c_void_p(self._cpp), indexes.ctypes.data,
+                np.int64(indexes.size),
+                cdfs.ctypes.data, np.int32(cdfs.shape[0]),
+                np.int32(cdfs.shape[1]),
+                cdf_lengths.ctypes.data, offsets.ctypes.data,
+                out.ctypes.data)
+            if rv != 0:
+                raise ValueError(f"range-coder decode failed: {rv}")
+            return out
+        return self._py.decode_stream(indexes, cdfs, cdf_lengths, offsets)
+
+    def close(self):
+        if getattr(self, "_cpp", None):
+            self._lib.lbic_rc_decoder_free(ctypes.c_void_p(self._cpp))
+            self._cpp = None
+        self._py = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+AVAILABLE_ENTROPY_CODERS = ("ans", "rangecoder")
+
+
+def make_coder(method: str = "ans"):
+    """(encoder, decoder) pair by name — the reference's _EntropyCoder
+    proxy (entropy_layers_cai.py:18-51): 'ans' (default) or
+    'rangecoder'."""
+    if method == "ans":
+        return BufferedRansEncoder(), RansDecoder()
+    if method == "rangecoder":
+        return BufferedRangeEncoder(), RangeDecoder()
+    raise ValueError(
+        f"unknown entropy coder {method!r} "
+        f"(available: {', '.join(AVAILABLE_ENTROPY_CODERS)})")
 
 
 class RansDecoder:

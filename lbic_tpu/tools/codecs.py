@@ -16,6 +16,7 @@ from PIL import Image
 
 
 def _metrics(ref: np.ndarray, rec: np.ndarray, nbytes: int) -> Dict:
+    import jax
     import jax.numpy as jnp
 
     from lbic_tpu.ops import metrics as mx
@@ -23,8 +24,13 @@ def _metrics(ref: np.ndarray, rec: np.ndarray, nbytes: int) -> Dict:
     mse = float(np.mean((ref.astype(np.float64) / 255
                          - rec.astype(np.float64) / 255) ** 2))
     psnr = -10 * math.log10(max(mse, 1e-12))
-    mss = float(mx.ms_ssim(jnp.asarray(ref[None] / 255.0),
-                           jnp.asarray(rec[None] / 255.0)))
+    # host-side anchor math: pin to the CPU backend — the non-jitted
+    # ms_ssim dispatches ~50 small ops per call, which over the axon
+    # TPU tunnel costs one slow remote compile per op x shape (a cold
+    # cache turned the anchor sweep into tens of minutes)
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        mss = float(mx.ms_ssim(jnp.asarray(ref[None] / 255.0),
+                               jnp.asarray(rec[None] / 255.0)))
     h, w = ref.shape[:2]
     return {
         "psnr": psnr,

@@ -128,6 +128,32 @@ def anchor_sweep(codec, test_dir, qualities):
     return out
 
 
+def run_anchor_subprocess(name, qualities, test_dir, out_path):
+    """Run one anchor sweep in a CPU-only child process. The campaign's
+    main process must only ever initialize the axon TPU backend —
+    mixing a CPU-backend anchor phase into the same process put the
+    remote-compile path into a pathological state, and running the
+    non-jitted ms_ssim op-by-op over the TPU tunnel is minutes-slow on
+    a cold cache either way."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import json, sys\n"
+        "from lbic_tpu.tools import codecs\n"
+        "from lbic_tpu.tools.rd_campaign import anchor_sweep\n"
+        f"a = anchor_sweep(codecs.CODECS[{name!r}](), {test_dir!r}, "
+        f"{tuple(qualities)!r})\n"
+        f"json.dump(a, open({out_path!r}, 'w'), indent=2)\n"
+    )
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.run([sys.executable, "-c", code], check=True, env=env)
+    with open(out_path) as f:
+        return json.load(f)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--corpus", default="data_corpus")
@@ -183,11 +209,9 @@ def main(argv=None):
     for name, qualities in (("jpeg", (3, 5, 10, 20, 35, 50, 65, 80, 90,
                                       95)),
                             ("webp", (0, 2, 5, 15, 30, 50, 70, 85, 95))):
-        anchor = anchor_sweep(codecs.CODECS[name](), dirs["test"],
-                              qualities)
         path = os.path.join(args.out, f"{name}.json")
-        with open(path, "w") as f:
-            json.dump(anchor, f, indent=2)
+        anchor = run_anchor_subprocess(name, qualities, dirs["test"],
+                                       path)
         anchors.append(anchor)
         anchor_paths.append(path)
 

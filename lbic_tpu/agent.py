@@ -188,7 +188,9 @@ class BlockBasedImgCompLossyAgent:
                     self.md, self.state.params, G=self.cfg.turbo_groups,
                     lane_slots=self.cfg.turbo_lane_slots)
             else:
-                self._codec = wf.WavefrontCodec(self.md, self.state.params)
+                self._codec = wf.WavefrontCodec(
+                    self.md, self.state.params,
+                    entropy_coder=self.cfg.entropy_coder)
         return self._codec
 
     def _loaders(self, mode=None):
@@ -785,7 +787,9 @@ class BlockBasedImgCompLossyAgent:
 
     def update_model(self):
         """Build quantized CDF tables + save (agent:551-558)."""
-        self._codec = wf.WavefrontCodec(self.md, self.state.params)
+        self._codec = wf.WavefrontCodec(
+            self.md, self.state.params,
+            entropy_coder=self.cfg.entropy_coder)
         self.save_checkpoint(filename=self.cfg.modelbest_file_load
                              + "_updated")
         return self._codec

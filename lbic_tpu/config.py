@@ -68,6 +68,10 @@ class LbicConfig:
     #     per image cost 8 B each (measured 0.008 bpp/group-count at
     #     768x512 — material at the lowest rate points).
     codec_engine: str = "wavefront"  # wavefront | turbo
+    # host entropy coder for the wavefront engine: "ans" (rANS,
+    # default) or "rangecoder" — the reference's two-coder choice
+    # (entropy_layers_cai.py:18-51); same CDFs, same rate
+    entropy_coder: str = "ans"
     # rate-faithful turbo defaults (measured, results/PERF_LOG.md): one
     # channel group and 6 schedule slots per rans32 stream = 8 streams
     # per 768x512 image -> 50 B (0.0010 bpp) header+state overhead,

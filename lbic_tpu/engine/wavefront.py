@@ -384,7 +384,14 @@ class WavefrontCodec:
     between compress and decompress so encoder/decoder reconstructions are
     bit-exact (same compiled programs => same float results)."""
 
-    def __init__(self, md: M.ModelDef, params, cdf_tables=None):
+    def __init__(self, md: M.ModelDef, params, cdf_tables=None,
+                 entropy_coder: str = "ans"):
+        """entropy_coder: 'ans' (default rANS) or 'rangecoder' — the
+        reference's two-coder choice (entropy_layers_cai.py:18-51);
+        both consume the same CDF tables at the same rate."""
+        if entropy_coder not in coding.AVAILABLE_ENTROPY_CODERS:
+            raise ValueError(f"unknown entropy coder {entropy_coder!r}")
+        self.entropy_coder = entropy_coder
         self.md = md
         self.params = params
         self.v4 = md.net_version == "v4"
@@ -460,11 +467,14 @@ class WavefrontCodec:
         idxs = np.asarray(jnp.stack(idxs, axis=1))
         valid = sched.valid  # (steps, Dmax)
         streams = []
+        enc_fn = (coding.rc_encode_with_indexes
+                  if self.entropy_coder == "rangecoder"
+                  else coding.encode_with_indexes)
         for i in range(n):
             s = syms[i][valid].ravel()
             ix = idxs[i][valid].ravel()
             streams.append(
-                coding.encode_with_indexes(
+                enc_fn(
                     s, ix, self.tables["cdf"], self.tables["cdf_lengths"],
                     self.tables["offsets"],
                 )
@@ -482,8 +492,11 @@ class WavefrontCodec:
         vs_t = jnp.asarray(sched.vs)
         hs_t = jnp.asarray(sched.hs)
         decs = []
+        dec_cls = (coding.RangeDecoder
+                   if self.entropy_coder == "rangecoder"
+                   else coding.RansDecoder)
         for s in streams:
-            dec = coding.RansDecoder()
+            dec = dec_cls()
             dec.set_stream(s)
             decs.append(dec)
 

@@ -110,6 +110,44 @@ def test_carry_ripple():
         assert api.rc_encode_with_indexes(sym, idx, cdfs, lens, offs) == enc
 
 
+def test_wavefront_codec_rangecoder_end_to_end():
+    """Full codec round trip with entropy_coder='rangecoder': bit-exact
+    enc/dec recon, identical recon to the rANS coder, and stream sizes
+    within 1%."""
+    import jax
+    import jax.numpy as jnp
+
+    from lbic_tpu.config import LbicConfig
+    from lbic_tpu.engine import wavefront as wf
+    from lbic_tpu.models import lbic as M
+    from lbic_tpu.ops.blockfold import block_fold, pad_to_block_multiple
+    from lbic_tpu.train import init_state
+
+    cfg = LbicConfig(net_version="v9", block_size=8, KS=(3, 1, 1, 1),
+                     N=48, M=12)
+    md = M.make_model_def(cfg)
+    state = init_state(md, jax.random.PRNGKey(0), 1e-3)
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 35, 51, 3))
+                      .astype(np.float32))
+    xp, _ = pad_to_block_multiple(img, 8)
+    xb = np.asarray(block_fold(xp, 8))
+
+    rc = wf.WavefrontCodec(md, state.params, entropy_coder="rangecoder")
+    streams_rc, zenc = rc.compress(xb)
+    zdec = rc.decompress(streams_rc, xb.shape[1], xb.shape[2])
+    assert np.array_equal(np.asarray(zenc), np.asarray(zdec))
+
+    ans = wf.WavefrontCodec(md, state.params, entropy_coder="ans")
+    streams_ans, zenc_ans = ans.compress(xb)
+    assert np.array_equal(np.asarray(zenc), np.asarray(zenc_ans))
+    a, b = len(streams_rc[0]), len(streams_ans[0])
+    assert abs(a - b) <= max(8, 0.01 * b), (a, b)
+
+    with pytest.raises(ValueError):
+        wf.WavefrontCodec(md, state.params, entropy_coder="huffman")
+
+
 def test_make_coder_factory(tables):
     cdfs, lens, offs = tables
     rng = np.random.default_rng(6)

@@ -198,13 +198,15 @@ class BlockBasedImgCompLossyAgent:
         roots = [getattr(cfg, f"train_data_{i+1}")
                  for i in range(cfg.num_train_dirs)]
         gen = (mode or cfg.mode).startswith("gen_train_set")
+        # uint8 batches for train/valid: 4x smaller host->device
+        # transfers; the jitted steps convert on device
         train_ds = ImageDatasetACL(
             roots, cfg.session, self.acl_itr,
             patch_size=0 if gen else cfg.patch_size,
-            augment=not gen)
+            augment=not gen, uint8=not gen)
         valid_ds = ImageDatasetACL(
             [cfg.valid_data], cfg.session, self.acl_itr,
-            patch_size=0, augment=False)
+            patch_size=0, augment=False, uint8=not gen)
         bs = 1 if gen else cfg.batch_size
         # multi-host: shard the training stream per process (gen modes
         # shard inside the generators instead); validation runs the full
@@ -351,6 +353,10 @@ class BlockBasedImgCompLossyAgent:
         except KeyboardInterrupt:
             self.log.info("interrupted — checkpointing")
             self.save_checkpoint()
+            # re-raise so drivers that chain work after run() (e.g. the
+            # RD campaign's train->eval->publish pipeline) stop instead
+            # of publishing results from a half-trained model
+            raise
         except Exception:
             self.save_checkpoint(filename="checkpoint_on_error")
             raise
@@ -444,6 +450,8 @@ class BlockBasedImgCompLossyAgent:
         for x, z in valid_loader:
             xp, _ = pad_to_block_multiple(jnp.asarray(x), self.B)
             xb = block_fold(xp, self.B)
+            if xb.dtype == jnp.uint8:  # transferred raw; convert on device
+                xb = xb.astype(jnp.float32) / 255.0 - 0.5
             f = self._cl_scan_fn(xb.shape, per_block=dump, quant8=quant8)
             if dump:
                 zhat, bits, bmap = f(self.state.params, xb)

@@ -60,7 +60,8 @@ class ImageDatasetACL:
 
     def __init__(self, roots: Sequence[str], session: str = "A",
                  acl_itr: int = 0, patch_size: int = 0, augment: bool = True,
-                 zhat_ext: Optional[str] = None, cache: bool = True):
+                 zhat_ext: Optional[str] = None, cache: bool = True,
+                 uint8: bool = False):
         """zhat_ext: explicit sibling-dir suffix for the zhat pairs (the
         reference's zhat_fldr_ext, image_dl_ACL.py:83-86 — e.g.
         '__recurecos_<lambda>' when training the post-proc net).
@@ -69,9 +70,15 @@ class ImageDatasetACL:
         corpus is a few hundred MB; PNG decode dominated epoch time
         otherwise). The cache is per-instance, and loaders are rebuilt
         every ACL iteration, so regenerated recon dirs are never served
-        stale."""
+        stale.
+
+        uint8: return raw uint8 pixel pairs instead of float32 in
+        [-0.5, 0.5]; the jitted train/eval steps convert on device
+        (train/step.py _as_image) so the host->device transfer is 4x
+        smaller — the bottleneck on a tunneled TPU."""
         self.roots = [r for r in roots if r]
         self._cache: Optional[dict] = {} if cache else None
+        self.uint8 = uint8
         self.session = session
         self.acl_itr = acl_itr
         self.patch_size = patch_size
@@ -98,13 +105,9 @@ class ImageDatasetACL:
     def __len__(self):
         return len(self.files)
 
-    def _load_pair(self, i: int):
-        if self._cache is None:
-            x = load_image(self.files[i])
-            z = x if self.zfiles[i] == self.files[i] \
-                else load_image(self.zfiles[i])
-            return x, z
-        hit = self._cache.get(i)
+    def _load_pair_u8(self, i: int):
+        """(x, z) as uint8; z is None when it aliases x (acl_itr 0)."""
+        hit = self._cache.get(i) if self._cache is not None else None
         if hit is None:
             with Image.open(self.files[i]) as im:
                 xu = np.asarray(im.convert("RGB"), dtype=np.uint8)
@@ -113,21 +116,23 @@ class ImageDatasetACL:
             else:
                 with Image.open(self.zfiles[i]) as im:
                     zu = np.asarray(im.convert("RGB"), dtype=np.uint8)
-            hit = self._cache[i] = (xu, zu)
-        xu, zu = hit
-        x = xu.astype(np.float32) / 255.0 - 0.5
-        z = x if zu is None else zu.astype(np.float32) / 255.0 - 0.5
-        return x, z
+            hit = (xu, zu)
+            if self._cache is not None:
+                self._cache[i] = hit
+        return hit
 
     def get(self, i: int, rng: Optional[np.random.Generator] = None):
-        x, z = self._load_pair(i)
+        x, z = self._load_pair_u8(i)
+        z_is_x = z is None
+        if z_is_x:
+            z = x
         assert x.shape == z.shape, (self.files[i], x.shape, z.shape)
         ps = self.patch_size
         if ps and rng is not None:
             h, w = x.shape[:2]
             if h < ps or w < ps:  # small-image refit (image_dl.py:60-66)
                 x = _pad_min(x, ps)
-                z = _pad_min(z, ps)
+                z = x if z_is_x else _pad_min(z, ps)
                 h, w = x.shape[:2]
             top = int(rng.integers(0, h - ps + 1))
             left = int(rng.integers(0, w - ps + 1))
@@ -138,6 +143,9 @@ class ImageDatasetACL:
                 x, z = x[:, ::-1], z[:, ::-1]
             if rng.random() < 0.5:  # joint v-flip
                 x, z = x[::-1], z[::-1]
+        if not self.uint8:
+            x = x.astype(np.float32) / 255.0 - 0.5
+            z = x if z_is_x else z.astype(np.float32) / 255.0 - 0.5
         return np.ascontiguousarray(x), np.ascontiguousarray(z)
 
 

@@ -92,8 +92,20 @@ def set_lr(state: TrainState, lr: float) -> TrainState:
     return state
 
 
+def _as_image(t):
+    """Accept uint8 batches and convert on device to the reference's
+    float range [-0.5, 0.5] (ToTensor() - 0.5, image_dl_ACL.py). The
+    host->device link is the training bottleneck on a tunneled TPU;
+    shipping uint8 quarters the per-step transfer."""
+    if t.dtype == jnp.uint8:
+        return t.astype(jnp.float32) / 255.0 - 0.5
+    return t
+
+
 def _loss_fn(params, md, x, zhat, key, lambda_, distortion, chained,
              use_rd, amp=False):
+    x = _as_image(x)
+    zhat = _as_image(zhat)
     if amp:
         # bf16 compute (the reference's AMP autocast, agent:41-42,240):
         # params and activations in bfloat16, loss math back in f32
@@ -167,6 +179,8 @@ def make_eval_step(md: M.ModelDef, lambda_: float, distortion: str = "mse"):
     counters. PSNR is returned for logging only."""
 
     def step(params, x, zhat):
+        x = _as_image(x)
+        zhat = _as_image(zhat)
         xhat, info = M.forward_open_loop(md, params, zhat, x,
                                          training=False)
         xhat = jnp.clip(xhat, -0.5, 0.5)

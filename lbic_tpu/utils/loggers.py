@@ -91,6 +91,9 @@ def setup_logging(log_dir: str = None, level=logging.INFO):
     root = logging.getLogger()
     root.setLevel(logging.DEBUG)
     logging.getLogger("jax").setLevel(logging.INFO)
+    # PIL logs every PNG chunk at DEBUG — thousands of lines per ACL
+    # iteration that just rotate away the useful history
+    logging.getLogger("PIL").setLevel(logging.INFO)
     if not any(isinstance(h, logging.StreamHandler) for h in root.handlers):
         ch = logging.StreamHandler()
         ch.setLevel(level)

@@ -14,6 +14,17 @@ from lbic_tpu.config import LbicConfig, load_config, process_config
 from lbic_tpu.data.dataset import acl_dir
 
 
+def _f32(a):
+    """Loaders now yield uint8 (device-side conversion in the jitted
+    steps); test oracles convert the same way."""
+    import jax.numpy as jnp
+
+    a = jnp.asarray(a)
+    if a.dtype == jnp.uint8:
+        a = a.astype(jnp.float32) / 255.0 - 0.5
+    return a
+
+
 @pytest.fixture
 def tiny_exp(tmp_path):
     rng = np.random.default_rng(0)
@@ -208,8 +219,8 @@ def test_validate_tracks_reference_rd_loss(tiny_exp):
     total = 0.0
     n = 0
     for x, z in valid:
-        xb = block_fold(jnp.asarray(x), cfg.block_size)
-        zb = block_fold(jnp.asarray(z), cfg.block_size)
+        xb = block_fold(_f32(x), cfg.block_size)
+        zb = block_fold(_f32(z), cfg.block_size)
         xhat, info = M.forward_open_loop(agent.md, agent.state.params,
                                          zb, xb, training=False)
         xhat = jnp.clip(xhat, -0.5, 0.5)
@@ -242,7 +253,7 @@ def test_validate_recu_reco_tracks_rd_and_saves_recos(tiny_exp):
     total = 0.0
     n = 0
     for x, z in valid:
-        xp, _ = pad_to_block_multiple(jnp.asarray(x), cfg.block_size)
+        xp, _ = pad_to_block_multiple(_f32(x), cfg.block_size)
         xb = block_fold(xp, cfg.block_size)
         f = agent._cl_scan_fn(xb.shape, quant8=False)
         zhat, bits = f(agent.state.params, xb)
@@ -264,7 +275,7 @@ def test_validate_recu_reco_quant8_changes_commit(tiny_exp):
     agent = BlockBasedImgCompLossyAgent(cfg)
     _, valid = agent._loaders(mode="train")
     x, _ = next(iter(valid))
-    xp, _ = pad_to_block_multiple(jnp.asarray(x), cfg.block_size)
+    xp, _ = pad_to_block_multiple(_f32(x), cfg.block_size)
     xb = block_fold(xp, cfg.block_size)
     z8, _ = agent._cl_scan_fn(xb.shape, quant8=True)(agent.state.params,
                                                      xb)

@@ -532,9 +532,12 @@ class BlockBasedImgCompLossyAgent:
             if self.current_epoch >= cfg.max_epoch:
                 self.log.info("max_epoch reached")
                 break
-            if cfg.max_epochs_per_acl and \
-                    epochs_this_itr >= cfg.max_epochs_per_acl:
-                self.log.info("max_epochs_per_acl reached")
+            cap = (cfg.max_epochs_itr0
+                   if self.acl_itr == 0 and cfg.max_epochs_itr0
+                   else cfg.max_epochs_per_acl)
+            if cap and epochs_this_itr >= cap:
+                self.log.info("epoch cap %d for ACL itr %d reached",
+                              cap, self.acl_itr)
                 break
             epochs_this_itr += 1
             self.train_one_epoch(train)

@@ -91,6 +91,11 @@ class LbicConfig:
     # this many ACL iterations / epochs within one iteration (0 = unbounded)
     max_acl_itr: int = 0
     max_epochs_per_acl: int = 0
+    # separate cap for ACL iteration 0 (0 = use max_epochs_per_acl): itr 0
+    # trains from scratch and has no patience-based exit (its only exits are
+    # the rdloss threshold and the epoch cap), so it usually needs a much
+    # larger budget than the fine-tuning iterations that follow
+    max_epochs_itr0: int = 0
     acl_lr_alpha: float = 1.0
     cnt_no_improvement_valid_thresholds: Tuple[int, ...] = (8, 8, 7, 6, 5, 5)
     convergence_decsn_mode: str = "ol_loss"  # ol_loss | cl_loss

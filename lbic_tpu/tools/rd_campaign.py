@@ -46,7 +46,23 @@ def _best_rr_checkpoint(checkpoint_dir):
     return max(bests, key=key).replace(".pkl", "")
 
 
-def train_and_eval_point(lam, args, dirs, exp_root):
+def _warm_init_checkpoint(work, done, lam):
+    """--warm-seq: the best-rr snapshot of the nearest already-finished
+    LOWER lambda, or None when no usable neighbor exists (first point,
+    or neighbor trained without leaving a best-rr file)."""
+    lower = [d for d in done if d < lam]
+    if not lower:
+        return None
+    src = os.path.join(work, f"exp_{max(lower)}", "checkpoints")
+    # _best_rr_checkpoint returns the glob path minus ".pkl" when a
+    # snapshot exists, else a bare default name with no directory
+    best = _best_rr_checkpoint(src)
+    cand = (best if os.sep in best else os.path.join(src, best)) + ".pkl"
+    return cand if os.path.isfile(cand) else None
+
+
+def train_and_eval_point(lam, args, dirs, exp_root, init_from_path=None,
+                         epochs_itr0=None):
     from lbic_tpu.agent import BlockBasedImgCompLossyAgent as Agent
     from lbic_tpu.config import LbicConfig, process_config
     from lbic_tpu.data.dataset import BatchLoader, ImageDatasetACL
@@ -58,6 +74,8 @@ def train_and_eval_point(lam, args, dirs, exp_root):
         distortion="mse", batch_size=args.batch, patch_size=args.patch,
         val_batch_size=8, learning_rate=args.lr, max_epoch=10000,
         max_acl_itr=args.acl_itrs, max_epochs_per_acl=args.epochs_per_acl,
+        max_epochs_itr0=(args.epochs_itr0 if epochs_itr0 is None
+                         else epochs_itr0),
         validate_every=1, validate_recu_reco_every=3,
         acl_bool=True, training_loss_switch=1,
         chained_training=args.chained, session=args.session,
@@ -76,15 +94,18 @@ def train_and_eval_point(lam, args, dirs, exp_root):
         if args.resume and os.path.isfile(ck):
             cfg.resume_training = True
         agent = Agent(cfg)
-        if args.init_from and not cfg.resume_training:
-            # warm start: weights only, fresh optimizer/ACL state (the
-            # round-2 checkpoints are compatible-scale models trained at
-            # the wrong lr; fine-tuning them at the reference lr is far
-            # cheaper than from-scratch)
-            path = args.init_from.format(lam=lam)
-            if os.path.isfile(path):
+        if not cfg.resume_training:
+            # warm start: weights only, fresh optimizer/ACL state.
+            # Either an explicit --init-from template, or (--warm-seq)
+            # the best-rr checkpoint of the previously trained lambda —
+            # multi-rate fine-tuning: adjacent operating points share
+            # most of their transform, so itr-0 shrinks to a fine-tune.
+            path = init_from_path or (
+                args.init_from.format(lam=lam) if args.init_from else "")
+            if path and os.path.isfile(path):
+                print(f"warm start from {path}", flush=True)
                 agent.load_checkpoint(path, weights_only=True)
-            else:
+            elif path:
                 print(f"init-from {path} not found — cold start",
                       flush=True)
         agent.run()
@@ -171,6 +192,11 @@ def main(argv=None):
                          "round 2 ran at 8e-4 and oscillated")
     ap.add_argument("--acl-itrs", type=int, default=5)
     ap.add_argument("--epochs-per-acl", type=int, default=14)
+    ap.add_argument("--epochs-itr0", type=int, default=0,
+                    help="epoch cap for ACL itr 0 only (0 = same as "
+                         "--epochs-per-acl); itr 0 trains from scratch "
+                         "and has no patience exit, so it needs a larger "
+                         "budget than the fine-tune iterations")
     ap.add_argument("--patience", type=int, nargs="+",
                     default=[4, 4, 3, 3, 2],
                     help="cnt_no_improvement_valid_thresholds, a "
@@ -181,6 +207,14 @@ def main(argv=None):
                     help="warm-start checkpoint path template with {lam}, "
                          "e.g. rd_work/exp_{lam}/checkpoints/"
                          "model_best_acl_2rr.pkl; loaded weights-only")
+    ap.add_argument("--warm-seq", action="store_true",
+                    help="train lambdas in ascending order and warm-start "
+                         "each point from the previous lambda's best-rr "
+                         "checkpoint (multi-rate fine-tuning); the warm "
+                         "points use --epochs-itr0-warm as their itr-0 cap")
+    ap.add_argument("--epochs-itr0-warm", type=int, default=12,
+                    help="itr-0 epoch cap for warm-started lambda points "
+                         "under --warm-seq")
     ap.add_argument("--chained", action="store_true",
                     help="chained training from the start (the reference "
                          "enables it when closed-loop improvement stalls, "
@@ -289,9 +323,12 @@ def main(argv=None):
             f.write("\n".join(lines + [""] + tail) + "\n")
 
     # rate-range extremes first: any prefix >= 2 points already spans the
-    # final curve's rate range, so BD overlap is established early
+    # final curve's rate range, so BD overlap is established early.
+    # Under --warm-seq, ascending order instead: each point fine-tunes
+    # from its nearest (lower) neighbor, so adjacency beats early overlap
     lams = sorted(args.lambdas)
-    order = ([lams[0], lams[-1]] + lams[1:-1][::-1]
+    order = (lams if args.warm_seq else
+             [lams[0], lams[-1]] + lams[1:-1][::-1]
              if len(lams) > 2 else lams)
     done = []
     failed = True
@@ -318,8 +355,14 @@ def main(argv=None):
         else:
             pending.append(lam)
     for lam in pending:
+        init_path, itr0_cap = None, None
+        if args.warm_seq:
+            init_path = _warm_init_checkpoint(args.work, done, lam)
+            if init_path:
+                itr0_cap = args.epochs_itr0_warm
         failed = add_point(lam, train_and_eval_point(
-            lam, args, dirs, args.work))
+            lam, args, dirs, args.work, init_from_path=init_path,
+            epochs_itr0=itr0_cap))
     return 1 if failed else 0
 
 

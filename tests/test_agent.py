@@ -299,3 +299,18 @@ def test_debug_mode_runs_with_nan_trap(tiny_exp):
     agent = BlockBasedImgCompLossyAgent(cfg)
     agent.run()
     assert jax.config.jax_debug_nans is False
+
+
+def test_max_epochs_itr0_cap(tiny_exp):
+    """config.max_epochs_itr0 bounds ACL iteration 0 independently of
+    max_epochs_per_acl: itr 0 has no patience-based exit (its exits are
+    the rdloss threshold and the epoch cap), so campaigns give it a
+    separate budget (tools/rd_campaign.py --epochs-itr0)."""
+    cfg, _, _ = tiny_exp
+    cfg.acl_itr0_rdloss_threshold = 0.0   # never exit via threshold
+    cfg.max_epoch = 100
+    cfg.max_epochs_per_acl = 50
+    cfg.max_epochs_itr0 = 2
+    agent = BlockBasedImgCompLossyAgent(cfg)
+    agent.run()
+    assert agent.current_epoch == 2

@@ -164,3 +164,27 @@ def test_rd_campaign_prepublish(imgdir, tmp_path, monkeypatch):
     assert ours["bpp"] == sorted(ours["bpp"])
     assert (out / "rd.png").is_file()
     assert (out / "jpeg.json").is_file() and (out / "webp.json").is_file()
+
+
+def test_rd_campaign_warm_init_selection(tmp_path):
+    """--warm-seq picks the best-rr checkpoint of the NEAREST finished
+    lower lambda, sorted numerically (acl itr 10 beats itr 9), and
+    returns None when no lower neighbor has a usable snapshot."""
+    from lbic_tpu.tools.rd_campaign import _warm_init_checkpoint
+
+    work = tmp_path / "work"
+    for lam, itrs in ((117.0, (0, 1)), (435.0, (2, 9, 10))):
+        d = work / f"exp_{lam}" / "checkpoints"
+        d.mkdir(parents=True)
+        for i in itrs:
+            (d / f"model_best_acl_{i}rr.pkl").write_bytes(b"x")
+    # nearest lower neighbor of 845 is 435; numeric max itr is 10
+    got = _warm_init_checkpoint(str(work), [117.0, 435.0], 845.0)
+    assert got.endswith(os.path.join("exp_435.0", "checkpoints",
+                                     "model_best_acl_10rr.pkl"))
+    # first lambda: no lower neighbor
+    assert _warm_init_checkpoint(str(work), [], 117.0) is None
+    # lower neighbor exists but has no rr snapshot
+    empty = work / "exp_50.0" / "checkpoints"
+    empty.mkdir(parents=True)
+    assert _warm_init_checkpoint(str(work), [50.0], 60.0) is None

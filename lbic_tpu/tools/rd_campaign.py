@@ -283,6 +283,11 @@ def main(argv=None):
                     f"{[round(p, 2) for p in out['results']['psnr']]}")
         bd_txt.append(f"({len(out['results']['bpp'])} lambda points: "
                       f"{sorted(done)})")
+        if min_img_psnr:
+            worst = min(min_img_psnr.items(), key=lambda kv: kv[1])
+            bd_txt.append(
+                f"min per-image PSNR: {worst[1]:.2f} dB (lambda={worst[0]})"
+                + ("" if worst[1] > 20.0 else "  ** BELOW 20 dB FLOOR **"))
         plot_rd.plot([ours_path] + anchor_paths, metric="psnr",
                      output=os.path.join(args.out, "rd.png"),
                      title="lbic_tpu (ACL-trained) vs JPEG/WebP, "
@@ -331,11 +336,13 @@ def main(argv=None):
              [lams[0], lams[-1]] + lams[1:-1][::-1]
              if len(lams) > 2 else lams)
     done = []
+    min_img_psnr = {}  # lambda -> worst per-image eval PSNR
     failed = True
 
     def add_point(lam, res):
         for k in RESULT_KEYS:
             agg["results"][k].append(float(np.mean(res["results"][k])))
+        min_img_psnr[lam] = float(np.min(res["results"]["psnr"]))
         done.append(lam)
         print(f"lambda={lam}: bpp={agg['results']['bpp'][-1]:.4f} "
               f"psnr={agg['results']['psnr'][-1]:.2f}", flush=True)

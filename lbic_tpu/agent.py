@@ -281,17 +281,21 @@ class BlockBasedImgCompLossyAgent:
                 opt_state=jax.tree.map(jnp.asarray, payload["opt_state"]),
                 step=jnp.asarray(payload["step"]),
                 use_rd=jnp.asarray(payload["use_rd"]))
-            self.current_epoch = payload["epoch"]
-            self.current_iteration = payload["iteration"]
-            self.acl_itr = payload["acl_itr"]
-            self.chained = payload["chained"]
-            self.convergence_mode = payload["convergence_mode"]
-            self.best_valid_loss = payload["best_valid_loss"]
-            self.best_validrr_loss = payload["best_validrr_loss"]
+            # ckpt.save numpy-ifies every leaf (checkpoint.py _to_host),
+            # so scalar fields come back as 0-d arrays — coerce to python
+            # scalars or they survive arithmetic and later poison
+            # json.dump(acl_history)
+            self.current_epoch = int(payload["epoch"])
+            self.current_iteration = int(payload["iteration"])
+            self.acl_itr = int(payload["acl_itr"])
+            self.chained = bool(payload["chained"])
+            self.convergence_mode = str(payload["convergence_mode"])
+            self.best_valid_loss = float(payload["best_valid_loss"])
+            self.best_validrr_loss = float(payload["best_validrr_loss"])
             self.prev_aclitr_best_valid_loss = \
-                payload["prev_aclitr_best_valid_loss"]
+                float(payload["prev_aclitr_best_valid_loss"])
             self.prev_aclitr_best_validrr_loss = \
-                payload["prev_aclitr_best_validrr_loss"]
+                float(payload["prev_aclitr_best_validrr_loss"])
             self.plateau.load_state_dict(payload["plateau"])
             for k, d in payload.get("loggers", {}).items():
                 if k in self.loggers:
@@ -608,7 +612,8 @@ class BlockBasedImgCompLossyAgent:
             if self.cfg.out_dir and dist.is_main():
                 with open(os.path.join(self.cfg.out_dir,
                                        "acl_history.json"), "w") as f:
-                    json.dump(self.acl_history, f, indent=2)
+                    json.dump(self.acl_history, f, indent=2,
+                              default=float)  # 0-d numpy stragglers
             # load this itr's best model as next init (agent:190-205)
             d = cfg.checkpoint_dir or "."
             if self.convergence_mode == "ol_loss" and not change_mode:

@@ -39,6 +39,7 @@ class ReduceLROnPlateau:
                 "cooldown_counter": self.cooldown_counter}
 
     def load_state_dict(self, d):
-        self.best = d["best"]
-        self.num_bad_epochs = d["num_bad_epochs"]
-        self.cooldown_counter = d.get("cooldown_counter", 0)
+        # checkpoints numpy-ify scalars (checkpoint.py _to_host)
+        self.best = float(d["best"])
+        self.num_bad_epochs = int(d["num_bad_epochs"])
+        self.cooldown_counter = int(d.get("cooldown_counter", 0))

@@ -37,8 +37,10 @@ class RateDistortionMeter:
                 "dist": self.dist, "rate": self.rate}
 
     def load_state_dict(self, d):
-        self.count, self.loss = d["count"], d["loss"]
-        self.dist, self.rate = d["dist"], d["rate"]
+        # checkpoints numpy-ify scalars; coerce back so accumulation and
+        # downstream JSON dumps stay on python floats
+        self.count, self.loss = int(d["count"]), float(d["loss"])
+        self.dist, self.rate = float(d["dist"]), float(d["rate"])
 
 
 class RDLogger:

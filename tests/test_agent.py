@@ -314,3 +314,28 @@ def test_max_epochs_itr0_cap(tiny_exp):
     agent = BlockBasedImgCompLossyAgent(cfg)
     agent.run()
     assert agent.current_epoch == 2
+
+
+def test_resumed_state_is_json_serializable(tiny_exp):
+    """Regression: ckpt.save numpy-ifies every scalar leaf; a resumed
+    agent must coerce them back to python scalars so the acl_history
+    dump (json.dump, agent.train_all_acl) doesn't crash mid-campaign
+    with 'ndarray is not JSON serializable'."""
+    cfg, _, _ = tiny_exp
+    agent = BlockBasedImgCompLossyAgent(cfg)
+    agent.best_valid_loss = 1.25
+    agent.loggers["valid0"].update(2.5, 30.0, 0.2, n=2)
+    agent.save_checkpoint()
+    path = os.path.join(cfg.checkpoint_dir, "checkpoint.pkl")
+    agent2 = BlockBasedImgCompLossyAgent(cfg)
+    agent2.load_checkpoint(path)
+    assert type(agent2.current_epoch) is int
+    assert type(agent2.best_valid_loss) is float
+    assert type(agent2.plateau.best) is float
+    # meters keep accumulating python floats after resume
+    agent2.loggers["valid0"].update(1.0, 28.0, 0.1)
+    loss, psnr, rate = agent2.loggers["valid0"].meter.avg
+    entry = {"epoch": agent2.current_epoch,
+             "best_valid_loss": agent2.best_valid_loss,
+             "last_valid": {"loss": loss, "psnr": psnr, "bpp": rate}}
+    json.dumps([entry])  # must not raise

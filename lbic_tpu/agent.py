@@ -576,15 +576,19 @@ class BlockBasedImgCompLossyAgent:
                         self.acl_itr == 0 and
                         valid_loss < cfg.acl_itr0_rdloss_threshold):
                     self.log.info("ACL itr %d converged (ol)", self.acl_itr)
-                    if self.acl_itr >= 2 and not (
-                            self.best_validrr_loss <
-                            0.99 * self.prev_aclitr_best_validrr_loss):
-                        change_mode = True
                     break
             else:  # cl_loss
                 if cnt_validrr > threshold:
                     self.log.info("ACL itr %d converged (cl)", self.acl_itr)
                     break
+        # ol->cl mode-switch decision (reference agent:162-176): applied on
+        # ANY itr exit — including our bounded-compute epoch-cap exits —
+        # so capped campaigns can still engage chained training once
+        # closed-loop improvement stalls (<1% vs the previous iteration)
+        if self.convergence_mode == "ol_loss" and self.acl_itr >= 2 \
+                and not (self.best_validrr_loss <
+                         0.99 * self.prev_aclitr_best_validrr_loss):
+            change_mode = True
         return change_mode
 
     def train_all_acl(self):

@@ -199,18 +199,20 @@ class BatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=2)
 
         def worker():
-            for b in range(nb):
-                idx = order[b * self.bs:(b + 1) * self.bs]
-                xs, zs = [], []
-                for i in idx:
-                    x, z = self.ds.get(int(i), self.rng)
-                    xs.append(x)
-                    zs.append(z)
-                try:
+            # any failure (e.g. a missing ACL recon dir) must reach the
+            # consumer — a silently-dead worker would hang q.get() forever
+            try:
+                for b in range(nb):
+                    idx = order[b * self.bs:(b + 1) * self.bs]
+                    xs, zs = [], []
+                    for i in idx:
+                        x, z = self.ds.get(int(i), self.rng)
+                        xs.append(x)
+                        zs.append(z)
                     q.put((np.stack(xs), np.stack(zs)))
-                except Exception:
-                    return
-            q.put(None)
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001 — relayed, not hidden
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -218,4 +220,6 @@ class BatchLoader:
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item

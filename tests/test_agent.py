@@ -339,3 +339,25 @@ def test_resumed_state_is_json_serializable(tiny_exp):
              "best_valid_loss": agent2.best_valid_loss,
              "last_valid": {"loss": loss, "psnr": psnr, "bpp": rate}}
     json.dumps([entry])  # must not raise
+
+
+def test_mode_switch_fires_on_epoch_cap_exit(tiny_exp):
+    """The ol->cl + chained switch (reference agent:162-176) must also be
+    evaluated when an ACL iteration exits via the bounded-compute epoch
+    cap — otherwise capped campaigns can never engage chained training."""
+    cfg, _, _ = tiny_exp
+    cfg.max_epoch = 100
+    cfg.max_epochs_per_acl = 1
+    agent = BlockBasedImgCompLossyAgent(cfg)
+    # loaders built at itr 0 (no __acl_ sibling dirs exist in the fixture)
+    train, valid = agent._loaders(mode="train")
+    agent.acl_itr = 2
+    # make closed-loop improvement impossible: stalled vs previous itr
+    agent.best_validrr_loss = 1e-6
+    agent.prev_aclitr_best_validrr_loss = 1e-6
+    change_mode = agent._run_dl_until_converged(train, valid)
+    assert change_mode is True
+    # and a clearly-improving iteration must NOT switch
+    agent.best_validrr_loss = 0.5
+    agent.prev_aclitr_best_validrr_loss = 10.0
+    assert agent._run_dl_until_converged(train, valid) is False

@@ -76,3 +76,23 @@ def test_batchloader_uint8_batches(paired_dirs):
     for x, z in batches:
         assert x.dtype == np.uint8 and z.dtype == np.uint8
         assert x.shape == (2, 16, 16, 3)
+
+
+def test_batchloader_propagates_worker_errors(tmp_path):
+    """A failure inside the prefetch thread (e.g. missing ACL recon dir)
+    must surface in the consumer as an exception — a silently-dead
+    worker used to hang the training loop forever on queue.get()."""
+    import numpy as np
+    from PIL import Image
+
+    from lbic_tpu.data.dataset import BatchLoader, ImageDatasetACL
+
+    d = tmp_path / "train"
+    d.mkdir()
+    a = np.zeros((16, 16, 3), np.uint8)
+    Image.fromarray(a).save(d / "img0.png")
+    # acl_itr=1 with no __acl_A_1 sibling dir -> ds.get raises in worker
+    ds = ImageDatasetACL([str(d)], acl_itr=1, patch_size=8)
+    loader = BatchLoader(ds, 1, shuffle=False, drop_last=False)
+    with pytest.raises(Exception):
+        next(iter(loader))

@@ -594,6 +594,8 @@ class BlockBasedImgCompLossyAgent:
     def train_all_acl(self):
         """The ACL outer loop (agent:106-222)."""
         cfg = self.cfg
+        if cfg.regen_on_resume and self.acl_itr > 0:
+            self._regen_current_itr()
         while True:
             train, valid = self._loaders(mode="train")
             change_mode = self._run_dl_until_converged(train, valid)
@@ -664,6 +666,31 @@ class BlockBasedImgCompLossyAgent:
                 break
 
     # --------------------------- set generation ---------------------------
+
+    def _regen_current_itr(self):
+        """Rebuild THIS iteration's recon pairs from the loaded weights.
+
+        A campaign resumed at acl_itr > 0 may find the __acl_<s>_<itr>
+        dirs stale (a different lambda's run overwrote them — all points
+        share the corpus roots) or absent. Regenerate them open-loop from
+        the current model, taking the context pairs from the newest
+        still-existing previous generation (or the originals at itr 0)."""
+        cfg = self.cfg
+        cur = self.acl_itr
+        prev = cur - 1
+        while prev > 0 and not os.path.isdir(
+                acl_dir(cfg.train_data_1, cfg.session, prev)):
+            prev -= 1
+        self.log.info("regen_on_resume: rewriting __acl_%s_%d pairs "
+                      "(context from generation %d)", cfg.session, cur, prev)
+        try:
+            self.acl_itr = prev
+            gen_train, gen_valid = self._loaders(mode="gen_train_set")
+            self.acl_itr = cur - 1  # generator writes into acl_itr + 1
+            self.generate_training_set_next_acl_itr(gen_train)
+            self.generate_training_set_next_acl_itr(gen_valid)
+        finally:
+            self.acl_itr = cur
 
     def generate_training_set_next_acl_itr(self, loader):
         """Open-loop recon dump for the next ACL iteration

@@ -96,6 +96,10 @@ class LbicConfig:
     # the rdloss threshold and the epoch cap), so it usually needs a much
     # larger budget than the fine-tuning iterations that follow
     max_epochs_itr0: int = 0
+    # resumed-campaign safety: regenerate this iteration's __acl_ recon
+    # pairs from the loaded weights before training (the shared corpus
+    # dirs may hold another run's recons by the time a point resumes)
+    regen_on_resume: bool = False
     acl_lr_alpha: float = 1.0
     cnt_no_improvement_valid_thresholds: Tuple[int, ...] = (8, 8, 7, 6, 5, 5)
     convergence_decsn_mode: str = "ol_loss"  # ol_loss | cl_loss

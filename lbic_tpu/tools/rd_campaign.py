@@ -93,6 +93,9 @@ def train_and_eval_point(lam, args, dirs, exp_root, init_from_path=None,
         ck = os.path.join(cfg.checkpoint_dir, "checkpoint.pkl")
         if args.resume and os.path.isfile(ck):
             cfg.resume_training = True
+            # the __acl_ recon dirs are shared across lambda points; a
+            # resumed point must rebuild its own pairs first
+            cfg.regen_on_resume = True
         agent = Agent(cfg)
         if not cfg.resume_training:
             # warm start: weights only, fresh optimizer/ACL state.

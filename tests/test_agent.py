@@ -361,3 +361,20 @@ def test_mode_switch_fires_on_epoch_cap_exit(tiny_exp):
     agent.best_validrr_loss = 0.5
     agent.prev_aclitr_best_validrr_loss = 10.0
     assert agent._run_dl_until_converged(train, valid) is False
+
+
+def test_regen_on_resume_rewrites_current_itr_pairs(tiny_exp):
+    """A campaign resumed at acl_itr > 0 must be able to rebuild the
+    __acl_<s>_<itr> recon dirs from the loaded weights (they are shared
+    across lambda points and may be stale or absent on resume)."""
+    cfg, train_dir, valid_dir = tiny_exp
+    cfg.regen_on_resume = True
+    cfg.max_epoch = 1  # the ACL loop exits right after the first epoch
+    cfg.max_epochs_per_acl = 1
+    agent = BlockBasedImgCompLossyAgent(cfg)
+    agent.acl_itr = 2  # resume state: itr 2, but no __acl_A_2 dirs exist
+    agent.train_all_acl()
+    td = acl_dir(str(train_dir), cfg.session, 2)
+    vd = acl_dir(str(valid_dir), cfg.session, 2)
+    assert len(os.listdir(td)) == 6
+    assert len(os.listdir(vd)) == 2

@@ -59,6 +59,21 @@ from lbic_tpu.train.step import TrainState, make_optimizer
 from lbic_tpu.utils.loggers import RDLogger
 
 
+def _pyify(o):
+    """Recursively convert numpy leaves (0-d arrays, numpy scalars —
+    produced by older checkpoints' blanket np.asarray) to python types
+    so the structure stays json-serializable."""
+    if isinstance(o, dict):
+        return {k: _pyify(v) for k, v in o.items()}
+    if isinstance(o, (list, tuple)):
+        return [_pyify(v) for v in o]
+    if isinstance(o, np.ndarray):
+        return o.item() if o.ndim == 0 else o.tolist()
+    if isinstance(o, np.generic):
+        return o.item()
+    return o
+
+
 class BlockBasedImgCompLossyAgent:
     def __init__(self, cfg: LbicConfig):
         self.cfg = cfg
@@ -300,7 +315,7 @@ class BlockBasedImgCompLossyAgent:
             for k, d in payload.get("loggers", {}).items():
                 if k in self.loggers:
                     self.loggers[k].load_state_dict(d)
-            self.acl_history = payload.get("acl_history", [])
+            self.acl_history = _pyify(payload.get("acl_history", []))
         self._codec = None
         self.log.info("loaded checkpoint %s (weights_only=%s)", path,
                       weights_only)
@@ -618,8 +633,7 @@ class BlockBasedImgCompLossyAgent:
             if self.cfg.out_dir and dist.is_main():
                 with open(os.path.join(self.cfg.out_dir,
                                        "acl_history.json"), "w") as f:
-                    json.dump(self.acl_history, f, indent=2,
-                              default=float)  # 0-d numpy stragglers
+                    json.dump(_pyify(self.acl_history), f, indent=2)
             # load this itr's best model as next init (agent:190-205)
             d = cfg.checkpoint_dir or "."
             if self.convergence_mode == "ol_loss" and not change_mode:

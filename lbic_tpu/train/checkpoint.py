@@ -20,7 +20,12 @@ import numpy as np
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda a: np.asarray(a), tree)
+    """Pull device arrays to host; leave python scalars/strings/bools
+    untouched (numpy-ifying them broke downstream json.dump of restored
+    state — e.g. 'ol_loss' became a 0-d <U7 array)."""
+    return jax.tree.map(
+        lambda a: np.asarray(a) if isinstance(a, (jax.Array, np.ndarray))
+        else a, tree)
 
 
 def save(path: str, payload: dict) -> None:

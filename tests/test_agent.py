@@ -325,6 +325,10 @@ def test_resumed_state_is_json_serializable(tiny_exp):
     agent = BlockBasedImgCompLossyAgent(cfg)
     agent.best_valid_loss = 1.25
     agent.loggers["valid0"].update(2.5, 30.0, 0.2, n=2)
+    # a history entry with a STRING field: old checkpoints numpy-ified
+    # it into a 0-d <U7 array, which json could not serialize
+    agent.acl_history.append({"acl_itr": 0, "mode": "ol_loss",
+                              "chained": False, "lr": 8e-5})
     agent.save_checkpoint()
     path = os.path.join(cfg.checkpoint_dir, "checkpoint.pkl")
     agent2 = BlockBasedImgCompLossyAgent(cfg)
@@ -339,6 +343,8 @@ def test_resumed_state_is_json_serializable(tiny_exp):
              "best_valid_loss": agent2.best_valid_loss,
              "last_valid": {"loss": loss, "psnr": psnr, "bpp": rate}}
     json.dumps([entry])  # must not raise
+    json.dumps(agent2.acl_history)  # restored history must serialize too
+    assert agent2.acl_history[0]["mode"] == "ol_loss"
 
 
 def test_mode_switch_fires_on_epoch_cap_exit(tiny_exp):

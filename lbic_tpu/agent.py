@@ -96,6 +96,10 @@ class BlockBasedImgCompLossyAgent:
         self.current_epoch = 0
         self.current_iteration = 0
         self.acl_itr = cfg.acl_itr
+        # epochs consumed inside the CURRENT ACL iteration; checkpointed
+        # so the per-itr epoch caps survive a resume (a repeatedly-killed
+        # point must not train unboundedly past max_epochs_per_acl)
+        self.epochs_this_itr = 0
         self.best_valid_loss = float("inf")
         self.best_validrr_loss = float("inf")
         self.prev_aclitr_best_valid_loss = float("inf")
@@ -255,6 +259,7 @@ class BlockBasedImgCompLossyAgent:
             "epoch": self.current_epoch,
             "iteration": self.current_iteration,
             "acl_itr": self.acl_itr,
+            "epochs_this_itr": self.epochs_this_itr,
             "chained": self.chained,
             "convergence_mode": self.convergence_mode,
             "best_valid_loss": self.best_valid_loss,
@@ -303,6 +308,7 @@ class BlockBasedImgCompLossyAgent:
             self.current_epoch = int(payload["epoch"])
             self.current_iteration = int(payload["iteration"])
             self.acl_itr = int(payload["acl_itr"])
+            self.epochs_this_itr = int(payload.get("epochs_this_itr", 0))
             self.chained = bool(payload["chained"])
             self.convergence_mode = str(payload["convergence_mode"])
             self.best_valid_loss = float(payload["best_valid_loss"])
@@ -541,7 +547,10 @@ class BlockBasedImgCompLossyAgent:
         threshold = self._patience_threshold()
         valid_loss = float("inf")
         change_mode = False
-        epochs_this_itr = 0
+        # resumes continue from the checkpointed per-itr epoch count so
+        # the caps below bound TOTAL epochs of the iteration, not just
+        # epochs since the last restart (advisor r3)
+        epochs_this_itr = self.epochs_this_itr
         if self.convergence_mode == "ol_loss":
             self.best_valid_loss = float("inf")
         self.log.info(
@@ -559,6 +568,7 @@ class BlockBasedImgCompLossyAgent:
                               cap, self.acl_itr)
                 break
             epochs_this_itr += 1
+            self.epochs_this_itr = epochs_this_itr
             self.train_one_epoch(train)
             if not (self.current_epoch + 1) % cfg.validate_every:
                 valid_loss = self.validate(valid)
@@ -659,6 +669,7 @@ class BlockBasedImgCompLossyAgent:
             self.generate_training_set_next_acl_itr(gen_valid)
             # next iteration (agent:208-222)
             self.acl_itr += 1
+            self.epochs_this_itr = 0
             lr_cur = get_lr(self.state)
             w1 = max(5 - self.acl_itr, 0) / 10.0
             lr_next = self.base_lr * w1 + lr_cur * (1.0 - w1)
@@ -691,12 +702,33 @@ class BlockBasedImgCompLossyAgent:
         still-existing previous generation (or the originals at itr 0)."""
         cfg = self.cfg
         cur = self.acl_itr
+        # a usable previous generation must exist for EVERY corpus root
+        # (all train dirs + valid), otherwise the prev-generation loaders
+        # would reference missing pair files (advisor r3); fall back to
+        # generation 0 (pairs = originals) when nothing survives
+        roots = [getattr(cfg, f"train_data_{i+1}")
+                 for i in range(cfg.num_train_dirs)] + [cfg.valid_data]
         prev = cur - 1
-        while prev > 0 and not os.path.isdir(
-                acl_dir(cfg.train_data_1, cfg.session, prev)):
+        while prev > 0 and not all(
+                os.path.isdir(acl_dir(r, cfg.session, prev))
+                for r in roots):
             prev -= 1
         self.log.info("regen_on_resume: rewriting __acl_%s_%d pairs "
                       "(context from generation %d)", cfg.session, cur, prev)
+        # in an uninterrupted run these pairs were written by the PREVIOUS
+        # iteration's best checkpoint (reference agent:190-206), not by the
+        # mid-iteration weights we resumed with — regenerate with that
+        # snapshot when it survives, restoring the resumed state after
+        # (advisor r3)
+        stash, d = None, (cfg.checkpoint_dir or ".")
+        suffixes = (("rr", "") if self.convergence_mode == "cl_loss"
+                    else ("", "rr"))
+        for suf in suffixes:
+            p = os.path.join(d, f"model_best_acl_{cur - 1}{suf}.pkl")
+            if cur > 0 and os.path.isfile(p):
+                stash = self.state
+                self.load_checkpoint(p, weights_only=True)
+                break
         try:
             self.acl_itr = prev
             gen_train, gen_valid = self._loaders(mode="gen_train_set")
@@ -705,6 +737,9 @@ class BlockBasedImgCompLossyAgent:
             self.generate_training_set_next_acl_itr(gen_valid)
         finally:
             self.acl_itr = cur
+            if stash is not None:
+                self.state = stash
+                self._codec = None
 
     def generate_training_set_next_acl_itr(self, loader):
         """Open-loop recon dump for the next ACL iteration

@@ -49,13 +49,17 @@ def _save(dst, name, arr):
     Image.fromarray(arr).save(os.path.join(dst, name))
 
 
-def _crop_patches(arr, size, rng, max_patches):
+def _crop_patches(arr, size, rng, max_patches, off=(0, 0)):
+    """Non-overlapping size x size cells of `arr` starting at offset
+    `off`; at most `max_patches`, in a shuffled order."""
+    oy, ox = off
     h, w = arr.shape[:2]
-    ny, nx = h // size, w // size
+    ny, nx = (h - oy) // size, (w - ox) // size
     cells = [(i, j) for i in range(ny) for j in range(nx)]
     rng.shuffle(cells)
     for (i, j) in cells[:max_patches]:
-        yield arr[i * size:(i + 1) * size, j * size:(j + 1) * size]
+        y, x = oy + i * size, ox + j * size
+        yield arr[y:y + size, x:x + size]
 
 
 def build(root, patch=256, seed=0):
@@ -98,21 +102,45 @@ def build(root, patch=256, seed=0):
         a = _load_rgb(p)
         stem = os.path.splitext(os.path.basename(p))[0]
         pdir = os.path.basename(os.path.dirname(p))
-        # multi-scale: native + 2x downscale (adds antialiased statistics)
+        # multi-scale: native + 2x downscale (adds antialiased statistics;
+        # the downscale also matches the test-set prep, which halves any
+        # source wider than 640)
         scales = [a]
         if min(a.shape[:2]) >= 2 * patch:
             im = Image.fromarray(a)
             scales.append(np.asarray(im.resize(
                 (a.shape[1] // 2, a.shape[0] // 2), Image.LANCZOS)))
         for si, arr in enumerate(scales):
-            for k, pt in enumerate(_crop_patches(arr, patch, rng, 8)):
-                # ~1 in 12 patches goes to valid
-                split = "valid" if rng.integers(12) == 0 else "train"
+            # aligned grid: ALL non-overlapping cells (round-3 capped at
+            # 8 of 16 and left data on the table — VERDICT r3 #3)
+            for k, pt in enumerate(_crop_patches(arr, patch, rng, 16)):
+                # ~1 in 14 aligned patches goes to valid; only aligned
+                # cells feed valid so the set stays small (validrr cost
+                # is linear in it) and never overlaps a shifted crop of
+                # itself
+                split = "valid" if rng.integers(14) == 0 else "train"
                 _save(dirs[split], f"{pdir}_{stem}_s{si}_{k}.png", pt)
                 if split == "train":
                     n_train += 1
                 else:
                     n_valid += 1
+                # 90-deg rotations: transposed stripe/grain statistics
+                # train-time flips cannot produce (all downscale cells,
+                # half the native cells)
+                if (si == 1 or k % 2 == 0) and split == "train":
+                    _save(dirs["train"],
+                          f"{pdir}_{stem}_s{si}_{k}r.png",
+                          np.ascontiguousarray(np.rot90(pt)))
+                    n_train += 1
+            # half-stride shifted grid: overlapping crops, new block
+            # phases of the same content (train only)
+            half = patch // 2
+            if min(arr.shape[:2]) >= patch + half:
+                for k, pt in enumerate(_crop_patches(
+                        arr, patch, rng, 8, off=(half, half))):
+                    _save(dirs["train"], f"{pdir}_{stem}_s{si}o_{k}.png",
+                          pt)
+                    n_train += 1
     return {"train": n_train, "valid": n_valid, "test": n_test,
             "dirs": dirs}
 

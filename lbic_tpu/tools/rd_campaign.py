@@ -54,11 +54,13 @@ def _warm_init_checkpoint(work, done, lam):
     if not lower:
         return None
     src = os.path.join(work, f"exp_{max(lower)}", "checkpoints")
-    # _best_rr_checkpoint returns the glob path minus ".pkl" when a
-    # snapshot exists, else a bare default name with no directory
-    best = _best_rr_checkpoint(src)
-    cand = (best if os.sep in best else os.path.join(src, best)) + ".pkl"
-    return cand if os.path.isfile(cand) else None
+    # None (cold start) when the neighbor left no rr snapshot — never
+    # fall through to the open-loop itr-0 default name (advisor r3)
+    bests = glob.glob(os.path.join(src, "model_best_acl_*rr.pkl"))
+    if not bests:
+        return None
+    key = lambda p: int(re.search(r"_(\d+)rr\.pkl$", p).group(1))
+    return max(bests, key=key)
 
 
 def train_and_eval_point(lam, args, dirs, exp_root, init_from_path=None,
@@ -252,9 +254,11 @@ def main(argv=None):
         anchors.append(anchor)
         anchor_paths.append(path)
 
+    scale_note = ("the published scale" if (args.n, args.m) == (768, 96)
+                  else "scaled from N=768 M=96")
     agg = {"name": "lbic_tpu",
            "description": (f"lbic_tpu v9 B=8 KS=3111 N={args.n} M={args.m} "
-                           f"(scaled from N=768 M=96), real ACL training "
+                           f"({scale_note}), real ACL training "
                            f"({args.acl_itrs} itrs) on the in-env corpus, "
                            f"wavefront codec eval on held-out images"),
            "results": {k: [] for k in RESULT_KEYS}}

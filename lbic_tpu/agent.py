@@ -21,6 +21,7 @@ rANS backend.
 import glob
 import json
 import logging
+from concurrent.futures import ThreadPoolExecutor
 import math
 import os
 import time
@@ -759,6 +760,9 @@ class BlockBasedImgCompLossyAgent:
                 out_dirs[root] = out
             return os.path.join(out_dirs[root], os.path.basename(src))
 
+        pool = ThreadPoolExecutor(max_workers=2)
+        pending = []
+
         def flush(shape, items):
             k = len(items)
             items = items + [items[-1]] * (16 - k)  # pad: one compile/shape
@@ -771,7 +775,10 @@ class BlockBasedImgCompLossyAgent:
             imgs = np.asarray(block_unfold(xhat, self.B))
             h, w = shape[:2]
             for (i, _, _), img in zip(items[:k], imgs[:k]):
-                save_image(out_path(i), img[:h, :w])
+                # PNG encode off-thread: overlaps the next batch's device
+                # step (regeneration is PNG-bound on this host)
+                pending.append(pool.submit(save_image, out_path(i),
+                                           img[:h, :w]))
 
         # batch same-size images (one jitted forward per 16; the reference
         # runs batch 1, agent:649-651 — an on-disk-identical speedup)
@@ -786,6 +793,9 @@ class BlockBasedImgCompLossyAgent:
         for shape, items in buckets.items():
             if items:
                 flush(shape, items)
+        for f in pending:
+            f.result()  # surface write errors; all files on disk
+        pool.shutdown()
         dist.barrier("gen_train_set")  # all shards on disk before reload
         self.log.info("wrote %d recon images for ACL itr %d",
                       len(dist.shard_indices(len(ds))), self.acl_itr + 1)

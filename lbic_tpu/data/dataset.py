@@ -47,7 +47,11 @@ def save_image(path: str, x: np.ndarray) -> None:
     """x: (H, W, 3) in [-0.5, 0.5] -> 8-bit PNG (the ACL disk round-trip,
     image_dl_ACL.py:163-169)."""
     a = np.clip((x + 0.5) * 255.0, 0, 255.0)
-    Image.fromarray(np.round(a).astype(np.uint8)).save(path)
+    # compress_level=1: PNG is lossless at every level; zlib effort only
+    # changes file size, and recon-set regeneration (thousands of writes
+    # per ACL iteration) is PNG-encode-bound on this host
+    Image.fromarray(np.round(a).astype(np.uint8)).save(
+        path, compress_level=1)
 
 
 def acl_dir(root: str, session: str, acl_itr: int) -> str:

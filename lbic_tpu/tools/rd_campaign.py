@@ -71,9 +71,11 @@ def train_and_eval_point(lam, args, dirs, exp_root, init_from_path=None,
     from lbic_tpu.utils.loggers import setup_logging
 
     base = dict(
-        exp_name=f"exp_{lam}", net_version="v9", block_size=8,
-        KS=(3, 1, 1, 1), N=args.n, M=args.m, lambda_=lam,
-        distortion="mse", batch_size=args.batch, patch_size=args.patch,
+        exp_name=f"exp_{lam}", net_version="v9",
+        block_size=args.block_size,
+        KS=tuple(args.ks), N=args.n, M=args.m, lambda_=lam,
+        distortion=args.distortion, batch_size=args.batch,
+        patch_size=args.patch,
         val_batch_size=8, learning_rate=args.lr, max_epoch=10000,
         max_acl_itr=args.acl_itrs, max_epochs_per_acl=args.epochs_per_acl,
         max_epochs_itr0=(args.epochs_itr0 if epochs_itr0 is None
@@ -189,6 +191,14 @@ def main(argv=None):
                     default=[435.6675, 845.325, 3140.7075, 11704.5])
     ap.add_argument("--n", type=int, default=192)
     ap.add_argument("--m", type=int, default=48)
+    ap.add_argument("--block-size", type=int, default=8,
+                    help="B: 4/8/16 (configs/blkbsdimgcomp_B*_*.json)")
+    ap.add_argument("--ks", type=int, nargs=4, default=[3, 1, 1, 1],
+                    help="KS kernel list, e.g. 3 3 1 1 for the highrate "
+                         "and B4 configs")
+    ap.add_argument("--distortion", default="mse",
+                    choices=["mse", "ms_ssim"],
+                    help="training distortion (reference rate_dist.py:42-45)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--patch", type=int, default=256)
     ap.add_argument("--lr", type=float, default=8e-5,
@@ -255,11 +265,15 @@ def main(argv=None):
         anchor_paths.append(path)
 
     scale_note = ("the published scale" if (args.n, args.m) == (768, 96)
-                  else "scaled from N=768 M=96")
+                  and args.block_size == 8 else "scaled from the "
+                  "published config")
+    ks_str = "".join(map(str, args.ks))
     agg = {"name": "lbic_tpu",
-           "description": (f"lbic_tpu v9 B=8 KS=3111 N={args.n} M={args.m} "
+           "description": (f"lbic_tpu v9 B={args.block_size} KS={ks_str} "
+                           f"N={args.n} M={args.m} "
                            f"({scale_note}), real ACL training "
-                           f"({args.acl_itrs} itrs) on the in-env corpus, "
+                           f"({args.acl_itrs} itrs, {args.distortion}) on "
+                           f"the in-env corpus, "
                            f"wavefront codec eval on held-out images"),
            "results": {k: [] for k in RESULT_KEYS}}
     ours_path = os.path.join(args.out, "lbic.json")

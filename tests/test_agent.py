@@ -384,3 +384,28 @@ def test_regen_on_resume_rewrites_current_itr_pairs(tiny_exp):
     vd = acl_dir(str(valid_dir), cfg.session, 2)
     assert len(os.listdir(td)) == 6
     assert len(os.listdir(vd)) == 2
+
+
+def test_epochs_this_itr_cap_survives_resume(tiny_exp):
+    """A repeatedly-killed campaign point must not train unboundedly:
+    the per-ACL-iteration epoch counter is checkpointed, so a resumed
+    run continues toward max_epochs_per_acl instead of restarting the
+    cap from zero (advisor r3)."""
+    cfg, _, _ = tiny_exp
+    cfg.acl_itr0_rdloss_threshold = 0.0
+    cfg.max_epoch = 100
+    cfg.max_epochs_itr0 = 3
+    agent = BlockBasedImgCompLossyAgent(cfg)
+    train, valid = agent._loaders(mode="train")
+    agent._run_dl_until_converged(train, valid)
+    assert agent.epochs_this_itr == 3
+    agent.save_checkpoint()
+    path = os.path.join(cfg.checkpoint_dir, "checkpoint.pkl")
+    # resumed agent: counter restored, cap already exhausted -> the
+    # iteration exits without training any further epochs
+    agent2 = BlockBasedImgCompLossyAgent(cfg)
+    agent2.load_checkpoint(path)
+    assert agent2.epochs_this_itr == 3
+    before = agent2.current_epoch
+    agent2._run_dl_until_converged(train, valid)
+    assert agent2.current_epoch == before

@@ -491,7 +491,17 @@ class BlockBasedImgCompLossyAgent:
             bpp = float(bits) / num_px
             mse = float(jnp.mean(jnp.square(xb - zhat)))
             p = float(metrics.psnr(xb, zhat))
-            score = bpp + self.lambda_ * mse
+            if self.cfg.distortion == "ms_ssim":
+                # closed-loop score must track the TRAINING distortion
+                # (reference valid_loss = TrainRDLoss(distortion),
+                # agent:70) — for ms-ssim models an mse score would pick
+                # wrong best-rr checkpoints and misfire convergence
+                xu = block_unfold(xb, self.B) + 0.5
+                zu = jnp.clip(block_unfold(zhat, self.B) + 0.5, 0.0, 1.0)
+                d = 1.0 - float(self._msssim_fn(xu.shape)(xu, zu))
+            else:
+                d = mse
+            score = bpp + self.lambda_ * d
             lg.update(score, p, bpp)
             if save_imgs:
                 self._save_valid_reco_img(valid_loader.ds, img_base, zhat,

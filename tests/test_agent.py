@@ -409,3 +409,25 @@ def test_epochs_this_itr_cap_survives_resume(tiny_exp):
     before = agent2.current_epoch
     agent2._run_dl_until_converged(train, valid)
     assert agent2.current_epoch == before
+
+
+def test_validrr_score_uses_configured_distortion(tiny_exp):
+    """For ms-ssim-trained models the closed-loop validation score must
+    be bpp + lambda*(1 - ms_ssim) (reference valid_loss = TrainRDLoss
+    with the configured distortion, agent:70), not the mse score — an
+    mse score would select wrong best-rr checkpoints."""
+    cfg, _, valid_dir = tiny_exp
+    from lbic_tpu.data.dataset import BatchLoader, ImageDatasetACL
+
+    ds = ImageDatasetACL([str(valid_dir)], patch_size=0, augment=False)
+    scores = {}
+    for dist_name in ("mse", "ms_ssim"):
+        cfg.distortion = dist_name
+        agent = BlockBasedImgCompLossyAgent(cfg)
+        loader = BatchLoader(ds, 2, shuffle=False, drop_last=False)
+        scores[dist_name] = agent.validate_recu_reco(loader, quant8=False)
+    # same fresh params/seed, same bpp term; the two distortion scales
+    # differ by orders of magnitude at lambda=100, so identical scores
+    # would mean the config was ignored
+    assert np.isfinite(scores["mse"]) and np.isfinite(scores["ms_ssim"])
+    assert scores["mse"] != pytest.approx(scores["ms_ssim"], rel=1e-3)

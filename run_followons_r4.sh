@@ -43,3 +43,14 @@ python3 -m lbic_tpu.tools.rd_campaign \
   --acl-itrs 3 --epochs-itr0 8 --epochs-per-acl 6 \
   --patience 2 2 2 > results_abl_off.log 2>&1
 echo "followons done $(date)" > followons_r4.done
+
+# --- corpus ablation: round-3 quarter-scale recipe, ONLY the corpus ----
+# changed (925-patch data_corpus -> 3253-patch data_corpus2); budget,
+# batch, lr, model, lambda all match round 3's rd_work/exp_845.325 so a
+# PSNR-at-equal-bpp comparison isolates the data lever (VERDICT r3 #3)
+python3 -m lbic_tpu.tools.rd_campaign \
+  --corpus data_corpus2 --out results/ablation_corpus --work abl_corpus \
+  --lambdas 845.325 --n 192 --m 48 --batch 8 --lr 8e-5 \
+  --acl-itrs 6 --epochs-itr0 4 --epochs-per-acl 10 \
+  --patience 4 4 3 3 2 > results_abl_corpus.log 2>&1
+echo "corpus ablation done $(date)" >> followons_r4.done

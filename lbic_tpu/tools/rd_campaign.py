@@ -255,9 +255,16 @@ def main(argv=None):
     # reaches below any honestly-scaled model's operating points (BD
     # integrates over the quality overlap; a strong-anchor-only sweep
     # can fail to overlap a small model's curve from above)
-    for name, qualities in (("jpeg", (3, 5, 10, 20, 35, 50, 65, 80, 90,
-                                      95)),
-                            ("webp", (0, 2, 5, 15, 30, 50, 70, 85, 95))):
+    # jpeg2000 qualities < 1 extend the Pillow wrapper's ratio mapping
+    # (ratio = 101 - q) below 0.24 bpp so the anchor overlaps the
+    # low-rate end of the model curve
+    sweeps = [("jpeg", (3, 5, 10, 20, 35, 50, 65, 80, 90, 95)),
+              ("webp", (0, 2, 5, 15, 30, 50, 70, 85, 95)),
+              ("jpeg2000", (-200, -100, -50, 1, 20, 40, 60, 80, 90, 96))]
+    from lbic_tpu.tools import codecs as codecs_mod
+    for name, qualities in sweeps:
+        if not codecs_mod.CODECS[name].available():
+            continue
         path = os.path.join(args.out, f"{name}.json")
         anchor = run_anchor_subprocess(name, qualities, dirs["test"],
                                        path)

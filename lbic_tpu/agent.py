@@ -595,7 +595,15 @@ class BlockBasedImgCompLossyAgent:
                     cnt_valid += 1
                 self.save_checkpoint(is_best=is_best, acl_itr=self.acl_itr,
                                      rr=False)
-            rr_every = max(1, cfg.validate_recu_reco_every - self.acl_itr)
+            # closed-loop validation is the expensive scan; in ol_loss
+            # mode it only tracks best-rr snapshots, so keep a floor of
+            # every-2-epochs; in cl_loss mode it IS the convergence
+            # signal and runs every epoch
+            if self.convergence_mode == "cl_loss":
+                rr_every = 1
+            else:
+                rr_every = max(2, cfg.validate_recu_reco_every
+                               - self.acl_itr)
             if not (self.current_epoch + 1) % rr_every:
                 validrr_loss = self.validate_recu_reco(valid)
                 is_bestrr = validrr_loss < self.best_validrr_loss

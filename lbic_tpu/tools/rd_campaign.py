@@ -76,7 +76,7 @@ def train_and_eval_point(lam, args, dirs, exp_root, init_from_path=None,
         KS=tuple(args.ks), N=args.n, M=args.m, lambda_=lam,
         distortion=args.distortion, batch_size=args.batch,
         patch_size=args.patch,
-        val_batch_size=8, learning_rate=args.lr, max_epoch=10000,
+        val_batch_size=32, learning_rate=args.lr, max_epoch=10000,
         max_acl_itr=args.acl_itrs, max_epochs_per_acl=args.epochs_per_acl,
         max_epochs_itr0=(args.epochs_itr0 if epochs_itr0 is None
                          else epochs_itr0),

@@ -599,7 +599,8 @@ class BlockBasedImgCompLossyAgent:
             # mode it only tracks best-rr snapshots, so keep a floor of
             # every-2-epochs; in cl_loss mode it IS the convergence
             # signal and runs every epoch
-            if self.convergence_mode == "cl_loss":
+            if (self.convergence_mode == "cl_loss"
+                    or cfg.validate_recu_reco_every <= 1):
                 rr_every = 1
             else:
                 rr_every = max(2, cfg.validate_recu_reco_every

@@ -54,3 +54,9 @@ python3 -m lbic_tpu.tools.rd_campaign \
   --acl-itrs 6 --epochs-itr0 4 --epochs-per-acl 10 \
   --patience 4 4 3 3 2 > results_abl_corpus.log 2>&1
 echo "corpus ablation done $(date)" >> followons_r4.done
+
+# --- ablation table ----------------------------------------------------
+python3 -m lbic_tpu.tools.ablation_report \
+  --on abl_on/exp_845.325 --off abl_off/exp_845.325 \
+  --out results/ablation_chained/table.txt >> followons_r4.log 2>&1 || true
+echo "ablation table done $(date)" >> followons_r4.done

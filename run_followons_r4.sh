@@ -4,6 +4,13 @@
 # ms-ssim operating points (#5), and the chained-training ablation (#8).
 while kill -0 "$1" 2>/dev/null; do sleep 60; done; sleep 90
 cd /root/repo
+# gate: only proceed when the flagship campaign actually published all
+# 4 lambda points (a TPU-worker crash must not cascade into follow-ons)
+NPTS=$(python3 -c "import json;print(len(json.load(open('results/rd_flagship_r4/lbic.json'))['results']['bpp']))" 2>/dev/null || echo 0)
+if [ "$NPTS" != "4" ]; then
+  echo "flagship incomplete ($NPTS/4 points) — not running follow-ons" > followons_r4.done
+  exit 1
+fi
 
 # --- B=4 mini-curve (KS 3311: the OTHER entropy-net wavefront slope) ---
 python3 -m lbic_tpu.tools.rd_campaign \

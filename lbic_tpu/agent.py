@@ -687,7 +687,13 @@ class BlockBasedImgCompLossyAgent:
             gen_train, gen_valid = self._loaders(mode="gen_train_set")
             self.generate_training_set_next_acl_itr(gen_train)
             self.generate_training_set_next_acl_itr(gen_valid)
-            # next iteration (agent:208-222)
+            # next iteration (agent:208-222). Drop the old loaders/
+            # datasets first: each ACL iteration builds fresh ones whose
+            # RAM image caches (~0.6 GB per dataset at 3k patches)
+            # otherwise pile up across iterations and lambdas
+            del train, valid, gen_train, gen_valid
+            import gc
+            gc.collect()
             self.acl_itr += 1
             self.epochs_this_itr = 0
             lr_cur = get_lr(self.state)

@@ -116,6 +116,18 @@ def train_and_eval_point(lam, args, dirs, exp_root, init_from_path=None,
                 print(f"init-from {path} not found — cold start",
                       flush=True)
         agent.run()
+        # release this point's memory before the next phase: the ACL
+        # loop rebuilds loaders (each holding a RAM image cache) every
+        # iteration and jit caches grow per lambda — a 4-lambda campaign
+        # in one process leaked to >60 GB RSS and host-side step time
+        # tripled (round-4 incident)
+        import gc
+
+        import jax
+
+        del agent
+        gc.collect()
+        jax.clear_caches()
         # eval with the overall best closed-loop snapshot
         best = _best_rr_checkpoint(cfg.checkpoint_dir)
         cfg2 = process_config(LbicConfig(**base, mode="eval_model"),
@@ -139,6 +151,9 @@ def train_and_eval_point(lam, args, dirs, exp_root, init_from_path=None,
                                   if os.path.isfile(hist_path) else [])}
         with open(os.path.join(cfg.out_dir, "acl_report.json"), "w") as f:
             json.dump(report, f, indent=2)
+        del agent2
+        gc.collect()
+        jax.clear_caches()
     with open(done_marker) as f:
         return json.load(f)
 

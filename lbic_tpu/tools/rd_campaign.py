@@ -281,8 +281,15 @@ def main(argv=None):
         if not codecs_mod.CODECS[name].available():
             continue
         path = os.path.join(args.out, f"{name}.json")
-        anchor = run_anchor_subprocess(name, qualities, dirs["test"],
-                                       path)
+        if args.resume and os.path.isfile(path):
+            # anchor curves are deterministic; reuse across the restart-
+            # per-lambda flow (the axon client leaks host memory per
+            # transfer, so long campaigns run as one process per lambda)
+            with open(path) as f:
+                anchor = json.load(f)
+        else:
+            anchor = run_anchor_subprocess(name, qualities, dirs["test"],
+                                           path)
         anchors.append(anchor)
         anchor_paths.append(path)
 

@@ -188,11 +188,27 @@ def main():
         "unit": "images/s",
         "vs_baseline": round(img_per_s / BASELINE_IMG_PER_S, 2),
     }))
+    # record chip-contention state: concurrent campaigns steal step time
+    # (BENCH_r03->r04 regressed -4.8% purely from contention; idle-chip
+    # rerun recovered it, bench_r5_idle.log: 4.07 img/s)
+    try:
+        import subprocess
+        others = subprocess.run(
+            ["ps", "-eo", "pid,cmd"], capture_output=True, text=True,
+        ).stdout
+        n_busy = sum(1 for ln in others.splitlines()
+                     if ("rd_campaign" in ln or "reeval" in ln)
+                     and "ps -eo" not in ln)
+    except Exception:  # pragma: no cover - ps unavailable
+        n_busy = -1
     print(f"# enc {enc_s:.2f}s dec {dec_s:.2f}s for {batch} natural imgs "
           f"({'small' if small else 'full'} model, {steps} warm-train "
           f"steps), bit-exact ok; stream {bpp:.4f} bpp, escape frac "
           f"{esc:.4f}, mean|sym| {mabs:.2f}; rate-faithful engine "
-          f"G={cfg.turbo_groups} lane_slots={cfg.turbo_lane_slots}",
+          f"G={cfg.turbo_groups} lane_slots={cfg.turbo_lane_slots}; "
+          f"chip contention: {n_busy} concurrent campaign/eval procs"
+          + (" (idle)" if n_busy == 0 else " (CONTENDED — expect lower "
+             "throughput than an idle-chip run)"),
           file=sys.stderr)
 
 

@@ -274,6 +274,11 @@ class BlockBasedImgCompLossyAgent:
             "loggers": {k: lg.state_dict()
                         for k, lg in self.loggers.items()},
             "acl_history": self.acl_history,
+            # last per-epoch stats survive resume so a resumed iteration's
+            # acl_history row reports true values instead of inf/nan
+            # (round-4 acl_report.txt corruption)
+            "last_valid_stats": self.last_valid_stats,
+            "last_validrr_stats": self.last_validrr_stats,
         }
         ckpt.save(os.path.join(d, filename + ".pkl"), payload)
         if is_best and acl_itr is not None:
@@ -323,6 +328,10 @@ class BlockBasedImgCompLossyAgent:
                 if k in self.loggers:
                     self.loggers[k].load_state_dict(d)
             self.acl_history = _pyify(payload.get("acl_history", []))
+            self.last_valid_stats = _pyify(
+                payload.get("last_valid_stats"))
+            self.last_validrr_stats = _pyify(
+                payload.get("last_validrr_stats"))
         self._codec = None
         self.log.info("loaded checkpoint %s (weights_only=%s)", path,
                       weights_only)
@@ -562,7 +571,12 @@ class BlockBasedImgCompLossyAgent:
         # the caps below bound TOTAL epochs of the iteration, not just
         # epochs since the last restart (advisor r3)
         epochs_this_itr = self.epochs_this_itr
-        if self.convergence_mode == "ol_loss":
+        # per-iteration best resets only when the iteration actually
+        # STARTS here — a resume re-entering mid-iteration keeps the
+        # checkpointed best, so the iteration's acl_history row (and the
+        # campaign acl_report) reports real values, not inf (round-4
+        # acl_report.txt rows 435/itr0, 845/itr2)
+        if self.convergence_mode == "ol_loss" and epochs_this_itr == 0:
             self.best_valid_loss = float("inf")
         self.log.info(
             "ACL itr %d: convergence=%s patience=%d chained=%s",
@@ -595,12 +609,18 @@ class BlockBasedImgCompLossyAgent:
                     cnt_valid += 1
                 self.save_checkpoint(is_best=is_best, acl_itr=self.acl_itr,
                                      rr=False)
-            # closed-loop validation is the expensive scan; in ol_loss
-            # mode it only tracks best-rr snapshots, so keep a floor of
-            # every-2-epochs; in cl_loss mode it IS the convergence
-            # signal and runs every epoch
-            if (self.convergence_mode == "cl_loss"
-                    or cfg.validate_recu_reco_every <= 1):
+            # closed-loop validation cadence. cl_loss mode follows the
+            # reference formula max(1, every - acl_itr) exactly (agent
+            # base.py:219-224) so the patience counter ticks at the
+            # reference rate for the same thresholds. ol_loss mode keeps
+            # a floor of every-2-epochs as a documented cost bound: the
+            # scan only tracks best-rr snapshots there, and halving its
+            # frequency was measured at <0.1 dB effect on the selected
+            # snapshot (round-3 PERF_LOG) at ~25% epoch-time savings.
+            if self.convergence_mode == "cl_loss":
+                rr_every = max(1, cfg.validate_recu_reco_every
+                               - self.acl_itr)
+            elif cfg.validate_recu_reco_every <= 1:
                 rr_every = 1
             else:
                 rr_every = max(2, cfg.validate_recu_reco_every
@@ -616,6 +636,15 @@ class BlockBasedImgCompLossyAgent:
                 self.save_checkpoint(is_best=is_bestrr,
                                      acl_itr=self.acl_itr, rr=True)
             self.current_epoch += 1
+            # test hook: LBIC_FAULT_ONCE=<flag-path> injects exactly one
+            # mid-training crash (after the first epoch's checkpoint) so
+            # the campaign driver's crash-retry-resume path is testable
+            # end-to-end (tools/rd_campaign.py retries; VERDICT r4 #1)
+            fault_flag = os.environ.get("LBIC_FAULT_ONCE")
+            if fault_flag and not os.path.exists(fault_flag):
+                with open(fault_flag, "w") as f:
+                    f.write("fault injected\n")
+                raise RuntimeError("injected fault (LBIC_FAULT_ONCE)")
             if self.convergence_mode == "ol_loss":
                 if (self.acl_itr > 0 and cnt_valid > threshold) or (
                         self.acl_itr == 0 and
@@ -747,6 +776,7 @@ class BlockBasedImgCompLossyAgent:
         # snapshot when it survives, restoring the resumed state after
         # (advisor r3)
         stash, d = None, (cfg.checkpoint_dir or ".")
+        pp_stash = self.pp_params
         suffixes = (("rr", "") if self.convergence_mode == "cl_loss"
                     else ("", "rr"))
         for suf in suffixes:
@@ -764,7 +794,12 @@ class BlockBasedImgCompLossyAgent:
         finally:
             self.acl_itr = cur
             if stash is not None:
+                # restore BOTH the resumed snapshot's codec state and its
+                # post-processing weights — load_checkpoint overwrites
+                # pp_params when the prev-best payload carries them
+                # (advisor r4)
                 self.state = stash
+                self.pp_params = pp_stash
                 self._codec = None
 
     def generate_training_set_next_acl_itr(self, loader):
@@ -806,21 +841,26 @@ class BlockBasedImgCompLossyAgent:
                                            img[:h, :w]))
 
         # batch same-size images (one jitted forward per 16; the reference
-        # runs batch 1, agent:649-651 — an on-disk-identical speedup)
-        buckets = {}
-        for i in dist.shard_indices(len(ds)):
-            x, z = ds.get(i, rng=None)
-            b = buckets.setdefault(x.shape, [])
-            b.append((i, x, z))
-            if len(b) == 16:
-                flush(x.shape, b)
-                buckets[x.shape] = []
-        for shape, items in buckets.items():
-            if items:
-                flush(shape, items)
-        for f in pending:
-            f.result()  # surface write errors; all files on disk
-        pool.shutdown()
+        # runs batch 1, agent:649-651 — an on-disk-identical speedup).
+        # The try/finally drains pending writes and shuts the pool down on
+        # EVERY exit path: an fwd/flush error must not leave the __acl_
+        # dir partially written with worker threads lingering (advisor r4)
+        try:
+            buckets = {}
+            for i in dist.shard_indices(len(ds)):
+                x, z = ds.get(i, rng=None)
+                b = buckets.setdefault(x.shape, [])
+                b.append((i, x, z))
+                if len(b) == 16:
+                    flush(x.shape, b)
+                    buckets[x.shape] = []
+            for shape, items in buckets.items():
+                if items:
+                    flush(shape, items)
+        finally:
+            for f in pending:
+                f.result()  # surface write errors; all files on disk
+            pool.shutdown()
         dist.barrier("gen_train_set")  # all shards on disk before reload
         self.log.info("wrote %d recon images for ACL itr %d",
                       len(dist.shard_indices(len(ds))), self.acl_itr + 1)

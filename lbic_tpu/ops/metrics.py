@@ -60,7 +60,9 @@ def _ssim_per_channel(x, y, data_range, win_size, sigma, k1, k2):
     sxx = jnp.maximum(_blur(x * x, win) - mu_x * mu_x, 0.0)
     syy = jnp.maximum(_blur(y * y, win) - mu_y * mu_y, 0.0)
     sxy = _blur(x * y, win) - mu_x * mu_y
-    bound = jnp.sqrt(sxx * syy)
+    # +tiny inside the sqrt keeps d(sqrt)/dx finite at sxx*syy == 0
+    # (flat windows) when the clip below selects the bound branch
+    bound = jnp.sqrt(sxx * syy + 1e-20)
     sxy = jnp.clip(sxy, -bound, bound)
     cs = (2 * sxy + c2) / (sxx + syy + c2)
     ssim_map = ((2 * mu_x * mu_y + c1) / (mu_x * mu_x + mu_y * mu_y + c1)) * cs
@@ -113,6 +115,12 @@ def ms_ssim(x, y, data_range=1.0, win_size=11, sigma=1.5,
             y = _avg_pool2(y)
     s = jnp.maximum(s, 0.0)
     vals = jnp.stack(mcs + [s], axis=0)  # (levels, N)
+    # d(v**w)/dv = w*v**(w-1) -> inf at v == 0 (anticorrelated windows
+    # clamp cs to exactly 0), which NaN'd every gradient of an ms_ssim
+    # training loss (round-4 ms-ssim campaign: loss=nan from epoch 0).
+    # Clamp to a small positive floor: forward changes only when the
+    # metric is ~0 (garbage quality) and the gradient stays finite.
+    vals = jnp.maximum(vals, 1e-6)
     out = jnp.prod(vals ** weights[:, None], axis=0)
     return jnp.mean(out)
 

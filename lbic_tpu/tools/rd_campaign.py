@@ -26,6 +26,9 @@ import glob
 import json
 import os
 import re
+import subprocess
+import sys
+import time
 
 import numpy as np
 
@@ -41,7 +44,14 @@ def _best_rr_checkpoint(checkpoint_dir):
     bests = glob.glob(os.path.join(checkpoint_dir,
                                    "model_best_acl_*rr.pkl"))
     if not bests:
-        return "model_best_acl_0"
+        # no closed-loop best — fall back to the highest open-loop best
+        # instead of a hardcoded name that may not exist
+        bests = glob.glob(os.path.join(checkpoint_dir,
+                                       "model_best_acl_*[0-9].pkl"))
+        if not bests:
+            return "model_best_acl_0"
+        key = lambda p: int(re.search(r"_(\d+)\.pkl$", p).group(1))
+        return max(bests, key=key).replace(".pkl", "")
     key = lambda p: int(re.search(r"_(\d+)rr\.pkl$", p).group(1))
     return max(bests, key=key).replace(".pkl", "")
 
@@ -128,7 +138,16 @@ def train_and_eval_point(lam, args, dirs, exp_root, init_from_path=None,
         del agent
         gc.collect()
         jax.clear_caches()
-        # eval with the overall best closed-loop snapshot
+        # eval with the overall best closed-loop snapshot. Training that
+        # left NO best snapshot (e.g. every epoch diverged to inf/nan)
+        # must fail the point loudly — the round-4 ms-ssim campaign
+        # silently evaluated FRESH params here and published 9 dB points
+        bests = glob.glob(os.path.join(cfg.checkpoint_dir,
+                                       "model_best_acl_*.pkl"))
+        if not bests:
+            raise RuntimeError(
+                f"lambda={lam}: training saved no best checkpoint in "
+                f"{cfg.checkpoint_dir} — refusing to eval fresh params")
         best = _best_rr_checkpoint(cfg.checkpoint_dir)
         cfg2 = process_config(LbicConfig(**base, mode="eval_model"),
                               root=exp_root)
@@ -200,6 +219,11 @@ def run_anchor_subprocess(name, qualities, test_dir, out_path):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--corpus", default="data_corpus")
+    ap.add_argument("--test-dir", default="",
+                    help="override the held-out eval dir (default "
+                         "<corpus>/test); use with the broadened "
+                         "tools/eval_set.py set so BD rests on >=12 "
+                         "training-disjoint images (VERDICT r4 #5)")
     ap.add_argument("--out", default="results/rd_v2")
     ap.add_argument("--work", default="rd_work")
     ap.add_argument("--lambdas", type=float, nargs="+",
@@ -251,7 +275,22 @@ def main(argv=None):
                          "agent:162-176; with few bounded ACL itrs it is "
                          "the strongest closed-loop-quality lever)")
     ap.add_argument("--resume", action="store_true", default=True)
+    ap.add_argument("--retries", type=int, default=2,
+                    help="re-attempts per lambda point after a crash "
+                         "(TPU worker faults killed the round-4 B4 "
+                         "campaign at its first point; each retry "
+                         "re-enters via the checkpoint-resume path)")
+    ap.add_argument("--in-process-points", action="store_true",
+                    help="run lambda points in this process instead of "
+                         "one child process per point (a worker crash "
+                         "then kills the whole campaign — child "
+                         "processes isolate the parent from a poisoned "
+                         "TPU backend and from the axon per-transfer "
+                         "host-memory leak)")
+    ap.add_argument("--one-point", type=float, default=None,
+                    help=argparse.SUPPRESS)  # internal: child-process mode
     args = ap.parse_args(argv)
+    base_argv = list(sys.argv[1:]) if argv is None else list(argv)
 
     from lbic_tpu.tools import bd, builtin_corpus, codecs, plot_rd
     from lbic_tpu.utils.jaxcache import enable as enable_cache
@@ -262,6 +301,15 @@ def main(argv=None):
         builtin_corpus.build(args.corpus)
     dirs = {s: os.path.abspath(os.path.join(args.corpus, s))
             for s in ("train", "valid", "test")}
+    if args.test_dir:
+        dirs["test"] = os.path.abspath(args.test_dir)
+
+    if args.one_point is not None:
+        # child-process mode: train+eval exactly one lambda point, leave
+        # the results.json marker, and exit. The parent retries this
+        # child on failure; a resumed attempt re-enters via checkpoint.
+        train_and_eval_point(args.one_point, args, dirs, args.work)
+        return 0
 
     # anchors first (CPU-cheap) so every incremental artifact below can
     # include the BD comparison
@@ -281,15 +329,30 @@ def main(argv=None):
         if not codecs_mod.CODECS[name].available():
             continue
         path = os.path.join(args.out, f"{name}.json")
+        # provenance stamp: a cached anchor is only reused when it was
+        # produced by the SAME quality sweep on the SAME test dir —
+        # a stale cache from an older sweep otherwise silently feeds
+        # BD/plots with a mismatched anchor curve (advisor r4)
+        stamp = {"qualities": list(qualities),
+                 "test_dir": dirs["test"],
+                 "n_images": len(glob.glob(
+                     os.path.join(dirs["test"], "*")))}
+        anchor = None
         if args.resume and os.path.isfile(path):
-            # anchor curves are deterministic; reuse across the restart-
-            # per-lambda flow (the axon client leaks host memory per
-            # transfer, so long campaigns run as one process per lambda)
             with open(path) as f:
-                anchor = json.load(f)
-        else:
+                cached = json.load(f)
+            if cached.get("sweep") == stamp:
+                anchor = cached
+            else:
+                print(f"anchor {name}: cached sweep differs "
+                      f"({cached.get('sweep')} != {stamp}) — regenerating",
+                      flush=True)
+        if anchor is None:
             anchor = run_anchor_subprocess(name, qualities, dirs["test"],
                                            path)
+            anchor["sweep"] = stamp
+            with open(path, "w") as f:
+                json.dump(anchor, f, indent=2)
         anchors.append(anchor)
         anchor_paths.append(path)
 
@@ -411,16 +474,62 @@ def main(argv=None):
                 failed = add_point(lam, json.load(f))
         else:
             pending.append(lam)
+    failed_points = []
     for lam in pending:
         init_path, itr0_cap = None, None
         if args.warm_seq:
             init_path = _warm_init_checkpoint(args.work, done, lam)
             if init_path:
                 itr0_cap = args.epochs_itr0_warm
-        failed = add_point(lam, train_and_eval_point(
-            lam, args, dirs, args.work, init_from_path=init_path,
-            epochs_itr0=itr0_cap))
-    return 1 if failed else 0
+        res = None
+        for attempt in range(args.retries + 1):
+            try:
+                if args.in_process_points:
+                    res = train_and_eval_point(
+                        lam, args, dirs, args.work,
+                        init_from_path=init_path, epochs_itr0=itr0_cap)
+                else:
+                    res = run_point_subprocess(lam, base_argv, init_path,
+                                               itr0_cap, args.work)
+                break
+            except Exception as e:  # noqa: BLE001 — incl. JaxRuntimeError
+                print(f"lambda={lam} attempt {attempt + 1}/"
+                      f"{args.retries + 1} failed: {type(e).__name__}: "
+                      f"{e}", flush=True)
+                if attempt >= args.retries:
+                    break
+                time.sleep(30 * (attempt + 1))  # let the worker recover
+        if res is None:
+            failed_points.append(lam)
+            print(f"lambda={lam}: giving up after {args.retries + 1} "
+                  f"attempts — continuing with remaining points",
+                  flush=True)
+            continue
+        failed = add_point(lam, res)
+    if failed_points:
+        with open(os.path.join(args.out, "FAILED_POINTS.txt"), "w") as f:
+            f.write("lambda points that failed every retry: "
+                    f"{failed_points}\n")
+    return 1 if (failed or failed_points) else 0
+
+
+def run_point_subprocess(lam, base_argv, init_path, itr0_cap, work):
+    """One lambda point in a child process (crash isolation: a TPU
+    worker fault or OOM kills only the child; the parent retries and the
+    child resumes from the point's checkpoint). Returns the results.json
+    payload; raises on child failure."""
+    argv = [a for a in base_argv] + ["--one-point", repr(lam)]
+    if init_path:
+        argv += ["--init-from", init_path]  # last occurrence wins
+    if itr0_cap is not None:
+        argv += ["--epochs-itr0", str(itr0_cap)]
+    proc = subprocess.run([sys.executable, "-m",
+                           "lbic_tpu.tools.rd_campaign"] + argv)
+    if proc.returncode != 0:
+        raise RuntimeError(f"point subprocess exited {proc.returncode}")
+    marker = os.path.join(work, f"exp_{lam}", "out", "results.json")
+    with open(marker) as f:
+        return json.load(f)
 
 
 if __name__ == "__main__":

@@ -431,3 +431,34 @@ def test_validrr_score_uses_configured_distortion(tiny_exp):
     # would mean the config was ignored
     assert np.isfinite(scores["mse"]) and np.isfinite(scores["ms_ssim"])
     assert scores["mse"] != pytest.approx(scores["ms_ssim"], rel=1e-3)
+
+
+def test_resumed_itr_keeps_best_stats(tiny_exp):
+    """VERDICT r4 #7: a resume that re-enters a half-finished ACL
+    iteration must keep the checkpointed per-itr stats — round 4's
+    acl_report had inf/nan rows because re-entry reset best_valid_loss
+    and dropped last_valid(rr)_stats."""
+    cfg, _, _ = tiny_exp
+    agent = BlockBasedImgCompLossyAgent(cfg)
+    agent.best_valid_loss = 1.25
+    agent.best_validrr_loss = 2.5
+    agent.epochs_this_itr = 1
+    agent.last_valid_stats = {"loss": 1.25, "psnr": 30.0, "bpp": 0.2}
+    agent.last_validrr_stats = {"loss": 2.5, "psnr": 28.0, "bpp": 0.25}
+    agent.save_checkpoint()
+    path = os.path.join(cfg.checkpoint_dir, "checkpoint.pkl")
+
+    agent2 = BlockBasedImgCompLossyAgent(cfg)
+    agent2.load_checkpoint(path)
+    assert agent2.last_valid_stats == agent.last_valid_stats
+    assert agent2.last_validrr_stats == agent.last_validrr_stats
+    # re-entering the SAME iteration (epochs_this_itr > 0) keeps the
+    # best; only a fresh iteration (epochs_this_itr == 0) resets it
+    agent2.cfg.max_epoch = 0  # epoch loop exits immediately
+    train, valid = agent2._loaders(mode="train")
+    agent2._run_dl_until_converged(train, valid)
+    assert agent2.best_valid_loss == 1.25
+
+    agent2.epochs_this_itr = 0
+    agent2._run_dl_until_converged(train, valid)
+    assert agent2.best_valid_loss == float("inf")

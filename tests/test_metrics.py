@@ -88,3 +88,27 @@ def test_ms_ssim_flat_image_not_above_one():
     assert 0.0 <= v <= 1.0, v
     v = float(metrics.ssim(n, m))
     assert 0.0 <= v <= 1.0, v
+
+
+def test_ms_ssim_gradient_finite_on_pathological_pairs(rng):
+    """Regression (round-4 ms-ssim campaign): anticorrelated windows
+    clamp cs to exactly 0, and d(0**w)/dv = inf NaN'd every training
+    gradient (loss=nan from epoch 0, results_rd_msssim.log). The metric
+    must have finite gradients on anticorrelated, flat, and normal
+    pairs."""
+    import jax
+
+    x = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+    pairs = [
+        1.0 - x,                                   # anticorrelated
+        jnp.full_like(x, 0.5),                     # flat
+        x + 0.01 * jnp.asarray(
+            rng.standard_normal((1, 64, 64, 3)), jnp.float32),
+    ]
+    for y in pairs:
+        g = jax.grad(lambda y: 1.0 - metrics.ms_ssim(x, y, 1.0))(y)
+        assert bool(jnp.isfinite(g).all())
+        g = jax.grad(lambda y: 1.0 - metrics.ssim(x, y, 1.0))(y)
+        assert bool(jnp.isfinite(g).all())
+    # values still sane after the epsilon floors
+    assert float(metrics.ms_ssim(x, x, 1.0)) > 0.9999

@@ -188,3 +188,70 @@ def test_rd_campaign_warm_init_selection(tmp_path):
     empty = work / "exp_50.0" / "checkpoints"
     empty.mkdir(parents=True)
     assert _warm_init_checkpoint(str(work), [50.0], 60.0) is None
+
+
+def test_corpus_split_no_shifted_valid_overlap():
+    """Leakage guarantee (advisor r4): no half-stride shifted train crop
+    may overlap any valid cell, across many rng draws and odd sizes."""
+    from lbic_tpu.tools.builtin_corpus import split_cells
+
+    rng = np.random.default_rng(123)
+    patch = 16
+    saw_valid = saw_shifted = 0
+    for _ in range(200):
+        h = int(rng.integers(patch, 6 * patch))
+        w = int(rng.integers(patch, 6 * patch))
+        aligned, shifted = split_cells(h, w, patch, rng, valid_one_in=3)
+        valid = [(y, x) for (y, x, s) in aligned if s == "valid"]
+        saw_valid += len(valid)
+        saw_shifted += len(shifted)
+        for (y, x) in shifted:
+            assert 0 <= y and 0 <= x
+            assert y + patch <= h and x + patch <= w
+            for (vy, vx) in valid:
+                no_overlap = (y >= vy + patch or vy >= y + patch or
+                              x >= vx + patch or vx >= x + patch)
+                assert no_overlap, (h, w, (y, x), (vy, vx))
+    # the property must have been exercised, not vacuously true
+    assert saw_valid > 50 and saw_shifted > 50
+
+
+def test_rd_campaign_crash_retry_resume(imgdir, tmp_path, monkeypatch):
+    """VERDICT r4 #1: a mid-training crash must not kill the campaign —
+    the driver retries the lambda point in a fresh child process, which
+    resumes from the checkpoint and completes. Fault injection:
+    LBIC_FAULT_ONCE crashes the agent exactly once after the first
+    epoch's checkpoint."""
+    from lbic_tpu.tools import rd_campaign
+
+    corpus = tmp_path / "corpus"
+    rng = np.random.default_rng(1)
+    for split, n, size in (("train", 4, 24), ("valid", 2, 24)):
+        (corpus / split).mkdir(parents=True)
+        for i in range(n):
+            a = rng.integers(0, 256, (size, size, 3), dtype=np.uint8)
+            Image.fromarray(a).save(corpus / split / f"img{i}.png")
+    (corpus / "test").mkdir()
+    for p in imgdir.glob("*.png"):
+        (corpus / "test" / p.name).write_bytes(p.read_bytes())
+
+    flag = tmp_path / "fault_flag"
+    monkeypatch.setenv("LBIC_FAULT_ONCE", str(flag))
+    out, work = tmp_path / "out", tmp_path / "work"
+    rc = rd_campaign.main([
+        "--corpus", str(corpus), "--out", str(out), "--work", str(work),
+        "--lambdas", "100.0", "--n", "16", "--m", "8",
+        "--block-size", "4", "--ks", "3", "1", "1", "1",
+        "--batch", "2", "--patch", "16", "--acl-itrs", "1",
+        "--epochs-itr0", "2", "--epochs-per-acl", "2",
+        "--patience", "0", "--retries", "2"])
+    # the fault fired...
+    assert flag.is_file()
+    # ...and the campaign still completed the point end-to-end (rc is
+    # nonzero only because BD needs >= 2 curve points — asserted via
+    # the absence of FAILED_POINTS instead)
+    res = json.loads((out / "lbic.json").read_text())["results"]
+    assert len(res["bpp"]) == 1 and res["bpp"][0] > 0
+    marker = work / "exp_100.0" / "out" / "results.json"
+    assert marker.is_file()
+    assert not (out / "FAILED_POINTS.txt").exists()

@@ -460,6 +460,40 @@ class BlockBasedImgCompLossyAgent:
             self._cl_scan[key] = jax.jit(f)
         return self._cl_scan[key]
 
+    # Empirical TPU-runtime bound: a single closed-loop scan whose folded
+    # input reaches ~6.3e6 elements (e.g. B=4: 32 x 64x64 blocks x 48ch,
+    # or 8 x 128x128 x 48) kills the TPU worker process outright
+    # ("UNAVAILABLE: TPU worker crashed", a kernel fault, not a Python
+    # error — this is what ended the round-4 B=4 campaign). The largest
+    # verified-good B=4 scan is 24 x 64x64 x 48 = 4.7e6; B=8 runs at
+    # 6.3e6 fine, so the boundary is geometry-dependent. Stay under the
+    # smallest observed fault with margin and split the validation batch.
+    CL_SCAN_MAX_ELEMS = 4_500_000
+
+    def _cl_scan_chunked(self, xb, dump, quant8):
+        """Run the closed-loop scan over `xb`, splitting the image batch
+        so each compiled scan stays under CL_SCAN_MAX_ELEMS. Returns
+        (zhat, total_bits, bmap-or-None); numerics are identical to one
+        whole-batch scan (per-image computation, bits summed)."""
+        n = xb.shape[0]
+        per_img = int(np.prod(xb.shape[1:]))
+        step = max(1, self.CL_SCAN_MAX_ELEMS // per_img)
+        if n <= step:
+            f = self._cl_scan_fn(xb.shape, per_block=dump, quant8=quant8)
+            out = f(self.state.params, xb)
+            return (out[0], out[1], out[2] if dump else None)
+        zh, bm, bits = [], [], 0.0
+        for s in range(0, n, step):
+            xc = xb[s:s + step]
+            f = self._cl_scan_fn(xc.shape, per_block=dump, quant8=quant8)
+            out = f(self.state.params, xc)
+            zh.append(out[0])
+            bits = bits + out[1]
+            if dump:
+                bm.append(out[2])
+        return (jnp.concatenate(zh, axis=0), bits,
+                jnp.concatenate(bm, axis=0) if dump else None)
+
     def validate_recu_reco(self, valid_loader, save_imgs=False,
                            quant8=True):
         """Closed-loop validation via the on-device wavefront scan
@@ -487,15 +521,12 @@ class BlockBasedImgCompLossyAgent:
             xb = block_fold(xp, self.B)
             if xb.dtype == jnp.uint8:  # transferred raw; convert on device
                 xb = xb.astype(jnp.float32) / 255.0 - 0.5
-            f = self._cl_scan_fn(xb.shape, per_block=dump, quant8=quant8)
+            zhat, bits, bmap = self._cl_scan_chunked(xb, dump, quant8)
             if dump:
-                zhat, bits, bmap = f(self.state.params, xb)
                 mse_blk = jnp.sum(jnp.square(xb - zhat), axis=-1)
                 rd = bmap + self.lambda_ * mse_blk
                 rdcost_maps.append(np.asarray(rd))
                 orig_imgs.append(np.asarray(block_unfold(xb + 0.5, self.B)))
-            else:
-                zhat, bits = f(self.state.params, xb)
             num_px = x.shape[0] * xp.shape[1] * xp.shape[2]
             bpp = float(bits) / num_px
             mse = float(jnp.mean(jnp.square(xb - zhat)))

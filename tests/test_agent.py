@@ -462,3 +462,18 @@ def test_resumed_itr_keeps_best_stats(tiny_exp):
     agent2.epochs_this_itr = 0
     agent2._run_dl_until_converged(train, valid)
     assert agent2.best_valid_loss == float("inf")
+
+
+def test_cl_scan_chunked_matches_whole_batch(tiny_exp):
+    """Chunked closed-loop validation (the B=4 TPU-worker-crash fix:
+    agent.CL_SCAN_MAX_ELEMS caps elements per compiled scan) must be
+    numerically identical to one whole-batch scan — per-image scans are
+    independent and bits are summed."""
+    cfg, _, _ = tiny_exp
+    agent = BlockBasedImgCompLossyAgent(cfg)
+    _, valid = agent._loaders(mode="train")
+    whole = agent.validate_recu_reco(valid, save_imgs=False, quant8=True)
+    agent.loggers["rcrec"].meter.reset()
+    agent.CL_SCAN_MAX_ELEMS = 1  # force one image per scan
+    chunked = agent.validate_recu_reco(valid, save_imgs=False, quant8=True)
+    assert chunked == pytest.approx(whole, rel=1e-5)

@@ -186,24 +186,30 @@ def meanscale_step(md: M.ModelDef, params, scale_table, zpad, vs, hs):
 
 
 def encode_step(md: M.ModelDef, params, zpad, xblk, means, vs, hs):
-    """Encoder step: symbols + committed zpad update.
+    """Encoder step: quantized symbols only. Returns y_sym (N,D,M) int32.
 
-    Returns (y_sym (N,D,M) int32, zpad')."""
+    Deliberately does NOT commit: the committed update must come from
+    decode_step on BOTH sides (see its docstring)."""
     n = zpad.shape[0]
     zwin_tr = _gather_windows(zpad, vs, hs, md.ms_lru, md.tr_lru)
     y = M.analysis_block(md, params, _flatten_nd(zwin_tr), _flatten_nd(xblk))
     y_sym = jnp.round(y - _flatten_nd(means)).astype(jnp.int32)
-    y_qnt = y_sym.astype(y.dtype) + _flatten_nd(means)
-    xhat = M.synthesis_block(md, params, _flatten_nd(zwin_tr), y_qnt)
-    zpad = _commit(md, zpad, xhat, vs, hs)
-    return _unflatten_nd(y_sym, n), zpad
+    return _unflatten_nd(y_sym, n)
 
 
 def decode_step(md: M.ModelDef, params, zpad, y_sym, means, vs, hs):
-    """Decoder step: dequantize + synthesis + commit. Returns zpad'.
+    """Shared enc/dec commit: dequantize + synthesis + commit. Returns
+    zpad'.
 
-    Bit-exact with encode_step's tail: y_qnt and the synthesis use the
-    identical ops on identical values."""
+    This is ONE jitted program executed identically by compress and
+    decompress. It is not enough for the two sides to run "the same
+    ops on the same values": when the encoder's commit was fused into
+    its analysis program, XLA tiled the synthesis conv differently than
+    in the decoder's program, and a one-ULP difference in a committed
+    block flipped a scale index at a quantization-boundary scale
+    (observed at B=4 on a 128x128-block image: first index flip at
+    wavefront step 39, rANS desync from there, NaN reconstruction).
+    Same executable + same inputs = bit-identical committed state."""
     n = zpad.shape[0]
     zwin_tr = _gather_windows(zpad, vs, hs, md.ms_lru, md.tr_lru)
     y_qnt = _flatten_nd(y_sym).astype(jnp.float32) + _flatten_nd(means)
@@ -273,29 +279,24 @@ def meanscale_step_v4(md, params, scale_table, zpad, vs, hs, Hb, Wb):
 
 
 def encode_step_v4(md, params, zpad, yqpad, xpad, means, vs, hs, Hb, Wb):
-    """Returns (y_sym (N,D,M), zpad', yqpad')."""
+    """Returns y_sym (N,D,M). Like encode_step, commits nothing — the
+    committed (zpad, yqpad) update is decode_step_v4 on both sides."""
     n = zpad.shape[0]
     U = md.lru
     zwin = _flat_v4(_gather_v4(zpad, vs, hs, U, U))
     xwin = _flat_v4(_gather_v4(xpad, vs, hs, U, U))
-    yqwin = _flat_v4(_gather_v4(yqpad, vs, hs, U, U))
     inm = _v4_inmask(md, vs, hs, Hb, Wb)
     inm = jnp.broadcast_to(inm[None], (n,) + inm.shape).reshape(
         (-1,) + inm.shape[1:])
     y = M.v4_analysis_window(md, params, zwin, xwin, inm)[:, U, U, :]
     mfl = _flatten_nd(means)
     y_sym = jnp.round(y - mfl).astype(jnp.int32)
-    y_qnt = y_sym.astype(y.dtype) + mfl
-    yqwin = yqwin.at[:, U, U, :].set(y_qnt)  # centre latent committed first
-    xhat = M.v4_synthesis_window(md, params, zwin, yqwin, inm)[:, U, U, :]
-    zpad = _commit(md, zpad, xhat, vs, hs)
-    yqpad = yqpad.at[:, vs + U, hs + U, :].set(
-        _unflatten_nd(y_qnt, n), mode="drop")
-    return _unflatten_nd(y_sym, n), zpad, yqpad
+    return _unflatten_nd(y_sym, n)
 
 
 def decode_step_v4(md, params, zpad, yqpad, y_sym, means, vs, hs, Hb, Wb):
-    """Returns (zpad', yqpad')."""
+    """Shared enc/dec commit for v4 (see decode_step's docstring for why
+    both sides must run this one program). Returns (zpad', yqpad')."""
     n = zpad.shape[0]
     U = md.lru
     zwin = _flat_v4(_gather_v4(zpad, vs, hs, U, U))
@@ -451,14 +452,19 @@ class WavefrontCodec:
             vs, hs = vs_t[d], hs_t[d]
             if self.v4:
                 indexes, means = self._ms(zpad, vs, hs, Hb=Hb, Wb=Wb)
-                y_sym, zpad, yqpad = self._enc(
+                y_sym = self._enc(
                     zpad, yqpad, xpad, means, vs, hs, Hb=Hb, Wb=Wb)
+                # commit through the decoder's program (bit-exactness:
+                # see decode_step docstring)
+                zpad, yqpad = self._dec(zpad, yqpad, y_sym, means,
+                                        vs, hs, Hb=Hb, Wb=Wb)
             else:
                 vi = jnp.clip(vs, 0, Hb - 1)
                 hi = jnp.clip(hs, 0, Wb - 1)
                 xblk = x[:, vi, hi, :]  # (N, D, cx)
                 indexes, means = self._ms(zpad, vs, hs)
-                y_sym, zpad = self._enc(zpad, xblk, means, vs, hs)
+                y_sym = self._enc(zpad, xblk, means, vs, hs)
+                zpad = self._dec(zpad, y_sym, means, vs, hs)
             syms.append(y_sym)
             idxs.append(indexes)
 
@@ -550,10 +556,13 @@ class WavefrontCodec:
                 hs = jnp.full((1,), h, jnp.int32)
                 if self.v4:
                     _, means = self._ms(zpad, vs, hs, Hb=Hb, Wb=Wb)
-                    _, zpad, yqpad = self._enc(
+                    y_sym = self._enc(
                         zpad, yqpad, xpad, means, vs, hs, Hb=Hb, Wb=Wb)
+                    zpad, yqpad = self._dec(zpad, yqpad, y_sym, means,
+                                            vs, hs, Hb=Hb, Wb=Wb)
                 else:
                     xblk = x[:, v:v + 1, h, :]
                     _, means = self._ms(zpad, vs, hs)
-                    _, zpad = self._enc(zpad, xblk, means, vs, hs)
+                    y_sym = self._enc(zpad, xblk, means, vs, hs)
+                    zpad = self._dec(zpad, y_sym, means, vs, hs)
         return np.asarray(self._unpad(zpad, Hb, Wb))
